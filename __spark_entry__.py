@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+via the engine's query registry
+(cosmoz_data_pipeline_spark/plans/registry.py).
 """
 
 from __future__ import annotations
@@ -13,26 +12,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cosmoz_data_pipeline_spark.plans import REGISTRY
+from cosmoz_data_pipeline_spark.session import harden_session
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full cosmoz level pipeline (raw → level4) on
+    sf0.001 — scan, dedup, window, as-of joins, broadcast dim join,
+    physics expressions, range-frame moving average in one plan."""
+    harden_session(spark)
+    return REGISTRY["level4"].run(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            harden_session(spark)
+            return REGISTRY[name].run(spark, sf_dir)
+
+        run.__name__ = f"q_{name}"
+        run.__doc__ = REGISTRY[name].doc
+        return run
+
+    return {name: wrap(name) for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (keys match ``queries()``)."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is forced with a count() (no driver-side row materialization
+— we measure engine execution, not Arrow transfer). A warmup run of a
+trivial action first absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cosmoz_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
+
+HEADLINE = (
+    "s01_scan_pushdown",
+    "a01_pricing_summary",
+    "j01_dim_join_rollup",
+    "j02_fact_fact_join",
+    "w01_lag_delta",
+    "w03_centered_time_avg",
+    "j05_asof_backward_join",
+    "j07_windowed_dedup",
+    "level2",
+    "level4",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_ann_cosine_topk",
+    "x_text_quality",
+    "x_text_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session(app_name="cosmoz-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.time()
+        q.run(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persists between runs
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""The cosmoz level pipeline (raw → level1 → level2 → level3 → level4)
+as declarative single-plan DataFrame transforms.
+
+Reference semantics: /root/reference/pipeline/cosmoz_process_levels.py
+(raw_to_level1 :340-429, level1_to_level2 :171-314, level2_to_level3
+:96-168, level3_to_level4 :42-93) — deployed Python behavior, with the
+SQL view specs (pipeline/*.sql) as documentation. Where the Python and
+SQL disagree (rain carried through level2, installation-date filter
+omitted at level4, noon-bounded SILO day window) we follow the Python,
+per SURVEY §7.3.
+
+Scale design (100 TB target):
+- no per-row lookups: the reference's N+1 correlated queries become
+  one broadcast join (stations), two grain joins (hour/day) and two
+  as-of window passes — ~4 shuffles total for level2, all keyed on
+  ``site_no`` so partitioning is reused;
+- dedup needs NO join at all: partitioning by the full payload makes
+  duplicate detection a lag() within each identical-payload group;
+- the ±3 h moving average is a range-frame window, not a self-join;
+- every expression is built-in Catalyst (whole-stage codegen), zero
+  Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import physics
+
+# payload columns compared by the duplicate detector. The reference
+# skips only {time, site_no, flag} but both sides alias flag →
+# raw_flag, so the raw flag IS part of the comparison
+# (cosmoz_process_levels.py:316-337 with :321/:353 aliasing).
+RAW_PAYLOAD = (
+    "count",
+    "pressure1",
+    "internal_temperature",
+    "internal_humidity",
+    "battery",
+    "tube_temperature",
+    "tube_humidity",
+    "rain",
+    "vwc1",
+    "vwc2",
+    "vwc3",
+    "pressure2",
+    "external_temperature",
+    "external_humidity",
+    "flag",
+)
+
+LEVEL1_FIELDS = RAW_PAYLOAD[:-1]  # sans flag (recomputed)
+
+
+def raw_to_level1(raw: DataFrame) -> DataFrame:
+    """raw_values → level1: 29-min exact-duplicate drop, first-row
+    skip, ±20 % count-jump / low-battery flag ladder
+    (cosmoz_process_levels.py:340-429; raw->level1.sql:88-96).
+
+    Duplicate rule: a row is dropped iff an identical-payload row of
+    the same site exists in [t−29 min, t) — including rows that are
+    themselves duplicates (:376 indexes the FULL raw series). Because
+    payload equality is required, partitioning by (site_no, payload)
+    turns the reference's range self-join into a lag(): one shuffle,
+    no join, no skew (identical-payload groups are tiny).
+
+    prev_count comes from DIFFERENCE() over the unfiltered series
+    (:357-360, :389 — duplicates still consume their diff), i.e. a
+    plain lag over raw order including duplicate rows.
+    """
+    seq = Window.partitionBy("site_no").orderBy("time")
+    dupw = Window.partitionBy("site_no", *RAW_PAYLOAD).orderBy("time")
+    flagged = (
+        raw.withColumn("prev_count", F.lag("count").over(seq))
+        .withColumn("prev_same_payload_time", F.lag("time").over(dupw))
+        .withColumn(
+            "is_duplicate",
+            F.col("prev_same_payload_time").isNotNull()
+            & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
+        )
+    )
+    kept = flagged.where(F.col("prev_count").isNotNull() & ~F.col("is_duplicate"))
+    return kept.select(
+        "time",
+        "site_no",
+        physics.level1_flag(
+            F.col("battery"), F.col("count"), F.col("prev_count"), F.col("flag")
+        ).alias("flag"),
+        *LEVEL1_FIELDS,
+    )
+
+
+def level1_to_level2(
+    level1: DataFrame,
+    intensity: DataFrame,
+    silo_data: DataFrame,
+    all_stations: DataFrame,
+) -> DataFrame:
+    """level1 → level2: pressure / water-vapour / intensity corrections
+    (cosmoz_process_levels.py:171-314; level1->level2.sql).
+
+    The reference's per-row lookups become set joins:
+    - SILO day row: LAST(*) within [00:00, 11:59:59.999999] of the
+      reading's UTC date (:201-216 — the noon quirk is deliberate) →
+      groupBy (site, date) arg-max pick + one equi-join;
+    - intensity exact-hour match: earliest intensity row in the
+      reading's hour (:251-257 takes intensities[0]) → groupBy (site,
+      hour) min_by pick + one equi-join;
+    - backward/forward as-of fallbacks (:263-274) → union+window
+      as-of joins (operators/asof.py), composed with coalesce in the
+      reference's priority order;
+    - station constants (:181, :195, :283-287) → broadcast hash join.
+    """
+    stations = F.broadcast(
+        all_stations.select(
+            "site_no", "beta", "ref_pressure", "ref_intensity", "latit_scaling", "elev_scaling"
+        )
+    )
+    int_slim = intensity.select("site_no", "time", "intensity")
+
+    hourly = int_slim.groupBy(
+        "site_no", F.date_trunc("hour", "time").alias("hr")
+    ).agg(F.min_by("intensity", "time").alias("intensity_hour"))
+
+    silo_pick = (
+        silo_data.where(F.hour("time") < 12)
+        .groupBy("site_no", F.to_date("time").alias("day"))
+        .agg(
+            F.max_by("average_temperature", "time").alias("silo_temperature"),
+            F.max_by("average_humidity", "time").alias("silo_humidity"),
+        )
+    )
+
+    enriched = (
+        level1.withColumn("hr", F.date_trunc("hour", "time"))
+        .withColumn("day", F.to_date("time"))
+        .join(hourly, ["site_no", "hr"], "left")
+        .join(silo_pick, ["site_no", "day"], "left")
+    )
+    enriched = asof_join(
+        enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
+        values=["intensity"], direction="backward", suffix="_bw",
+    )
+    enriched = asof_join(
+        enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
+        values=["intensity"], direction="forward", suffix="_fw",
+    )
+    enriched = enriched.join(stations, "site_no")
+
+    # SILO values participate only when the lookup would have fired
+    silo_cond = (F.col("external_temperature") == 0) | (F.col("external_humidity") == 0)
+    silo_t = F.when(silo_cond, F.col("silo_temperature"))
+    silo_h = F.when(silo_cond, F.col("silo_humidity"))
+
+    use_intensity = F.coalesce("intensity_hour", "intensity_bw", "intensity_fw")
+    wv = physics.wv_corr(
+        F.col("external_temperature"), F.col("external_humidity"), silo_t, silo_h
+    )
+    press = physics.press_corr(
+        F.col("pressure1"), F.col("pressure2"), F.col("beta"), F.col("ref_pressure")
+    )
+    icorr = physics.intensity_corr(use_intensity, F.col("ref_intensity"))
+
+    return enriched.select(
+        "time",
+        "site_no",
+        "flag",  # level1 flag passthrough (:302)
+        "count",
+        press.alias("press_corr"),
+        wv.alias("wv_corr"),
+        icorr.alias("intensity_corr"),
+        physics.corr_count(
+            F.col("count"), wv, press, icorr, F.col("latit_scaling"), F.col("elev_scaling")
+        ).alias("corr_count"),
+        "rain",  # carried through per deployed Python (:311)
+    )
+
+
+def level2_to_level3(level2: DataFrame, all_stations: DataFrame) -> DataFrame:
+    """level2 → level3: soil moisture, effective depth, rainfall +
+    QC flag ladder (cosmoz_process_levels.py:96-168)."""
+    stations = F.broadcast(
+        all_stations.select(
+            "site_no",
+            "n0_cal",
+            "bulk_density",
+            (F.col("lattice_water_g_g") + F.col("soil_organic_matter_g_g")).alias("lat_org_sum"),
+            (F.coalesce(F.col("alternate_algorithm") == "sandy", F.lit(False))).alias("sandy"),
+        )
+    )
+    j = level2.join(stations, "site_no")
+    moist = physics.corrected_moist(
+        F.col("corr_count"), F.col("n0_cal"), F.col("lat_org_sum"),
+        F.col("bulk_density"), F.col("sandy"),
+    )
+    return j.select(
+        "time",
+        "site_no",
+        physics.level3_flag(
+            F.col("wv_corr"), F.col("corr_count"), F.col("n0_cal"), F.col("flag"), F.col("sandy")
+        ).alias("flag"),
+        physics.soil_moist(moist).alias("soil_moist"),
+        physics.effective_depth(moist, F.col("lat_org_sum"), F.col("bulk_density")).alias(
+            "effective_depth"
+        ),
+        physics.rainfall(F.col("rain")).alias("rainfall"),
+    )
+
+
+def level3_to_level4(level3: DataFrame) -> DataFrame:
+    """level3 → level4: centered ±(3 h + 1 s) moving average over
+    valid rows, capped at the first 7 (cosmoz_process_levels.py:42-93;
+    level3->level4.sql:40-61).
+
+    Input = flag 0 rows only (:53); the averaging window sees the same
+    filtered set (:68). The reference's per-row subquery with LIMIT 7
+    becomes a range-frame collect_list + slice: frame contents arrive
+    time-ordered, so slice(…, 1, 7) reproduces InfluxQL's LIMIT 7, and
+    a sequential fold reproduces its MEAN exactly. When the window is
+    somehow empty the row's own value is used (:71-77).
+    """
+    valid = level3.where(F.col("flag") == 0)
+    secs = F.col("time").cast("long")
+    frame = (
+        Window.partitionBy("site_no").orderBy(secs).rangeBetween(-10801, 10801)
+    )
+
+    def windowed_mean(col: str) -> F.Column:
+        capped = F.slice(F.collect_list(F.col(col)).over(frame), 1, 7)
+        total = F.aggregate(capped, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(F.size(capped) > 0, total / F.size(capped)).otherwise(F.col(col))
+
+    return valid.select(
+        "time",
+        "site_no",
+        "soil_moist",
+        "effective_depth",
+        "rainfall",
+        windowed_mean("soil_moist").alias("soil_moist_filtered"),
+        windowed_mean("effective_depth").alias("depth_filtered"),
+    )
+
+
+def run_pipeline(
+    raw: DataFrame,
+    intensity: DataFrame,
+    silo_data: DataFrame,
+    all_stations: DataFrame,
+) -> dict[str, DataFrame]:
+    """Full four-level pipeline as one lazily-composed logical plan."""
+    l1 = raw_to_level1(raw)
+    l2 = level1_to_level2(l1, intensity, silo_data, all_stations)
+    l3 = level2_to_level3(l2, all_stations)
+    l4 = level3_to_level4(l3)
+    return {"level1": l1, "level2": l2, "level3": l3, "level4": l4}

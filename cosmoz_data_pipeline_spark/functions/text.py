@@ -1,0 +1,130 @@
+"""Text-analysis column builders for the LLM-data-pipeline extensions:
+tokenization, shingling, MinHash signatures, SimHash, fingerprints,
+language scoring, quality scoring.
+
+All pure Catalyst higher-order-function expressions (transform/
+aggregate/filter over arrays) — JVM-side, codegen'd, no Python UDFs —
+so they scale to 100 TB document corpora. Hashes use md5 (bit-stable
+across engines and platforms, unlike xxhash seeds), compared
+lexicographically on hex which is order-isomorphic to the 128-bit
+value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams; whole text as single shingle when shorter
+    than n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# MinHash universe: one md5 per shingle (the expensive part), truncated
+# to 32 bits, then k cheap independent integer hashes h_i = (a_i*h + b_i)
+# mod P derived from it. a_i < 2^21 and h < 2^32 keep products < 2^53 —
+# exact in int64 (and even float64) on any engine.
+MINHASH_P = 2147483647
+MINHASH_A0, MINHASH_A_STEP = 976369, 104729
+MINHASH_B0, MINHASH_B_STEP = 67890, 12345
+
+
+def shingle_hash(shingles: Column) -> Column:
+    """One 32-bit integer hash per shingle: first 8 md5 hex digits."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """k-element MinHash signature over integer shingle hashes."""
+    hs = shingle_hash(shingles)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hs,
+                lambda h: (
+                    (F.lit(MINHASH_A0) + F.lit(MINHASH_A_STEP) * i) * h
+                    + (F.lit(MINHASH_B0) + F.lit(MINHASH_B_STEP) * i)
+                )
+                % F.lit(MINHASH_P),
+            )
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """Band the signature: bands × rows keys; the band index is baked
+    into the key hash so a plain equi-join on key finds candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(F.slice(signature, b * rows + 1, rows), lambda x: x.cast("string")),
+                    "|",
+                ),
+            )
+        ),
+    )
+
+
+def signature_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing MinHash components."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(float(k))
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash: bit j is the sign of Σ_tokens (±1 by the top bit
+    of md5 hex digit j). Integer arithmetic only — engine-exact."""
+    high_nibbles = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+    def bit_score(j: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(t), j + 1, 1).isin(high_nibbles), 1).otherwise(-1),
+        )
+
+    out = F.lit(0)
+    for j in range(16):
+        out = out + F.when(bit_score(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(set_a) + F.size(set_b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (case/order/duplicate-insensitive)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def token_set_score(toks: Column, wordlist: list[str]) -> Column:
+    """#tokens contained in the wordlist (language-ID heuristic)."""
+    arr = F.array(*[F.lit(w) for w in wordlist])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

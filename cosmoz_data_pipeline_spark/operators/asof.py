@@ -1,0 +1,89 @@
+"""As-of (nearest-event temporal) join kit — SURVEY §2.3 J5/J6.
+
+The reference implements these as per-row correlated InfluxQL queries
+(`SELECT LAST(...) WHERE time <= t` fallback `SELECT FIRST(...) WHERE
+time >= t`, /root/reference/pipeline/cosmoz_process_levels.py:263-274;
+SQL spec /root/reference/pipeline/level1->level2.sql:113-124) — an
+N+1 pattern. Here it is a single distributed plan:
+
+    union(left-probe rows, right-value rows)
+      → one shuffle on the key
+      → last(value, ignorenulls) over an ordered window
+      → keep probe rows
+
+Scale properties: exactly ONE shuffle (by join key), no broadcast of
+the big side, no range explosion; the window is computed sort-merge
+style within each key partition, and AQE splits skewed keys. This is
+the standard log-structured as-of technique (same shape Flink/
+QuestDB/kdb use) expressed in pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "__asof_src"
+_ORD = "__asof_ord"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    values: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """Attach to each ``left`` row the ``values`` of the nearest
+    ``right`` row per key group.
+
+    direction='backward': latest right row with rt <= lt (rt < lt when
+    ``strict``); direction='forward': earliest right row with rt >= lt
+    (rt > lt when ``strict``). Output = all left columns +
+    ``<value><suffix>`` columns (NULL when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    on = list(on)
+    values = list(values)
+    out_cols = [v + suffix for v in values]
+
+    # probe rows carry their full payload; value rows carry only values
+    left_cols = left.columns
+    lhs = left.select(
+        *left_cols,
+        F.col(left_time).alias(_ORD),
+        F.lit(1).alias(_SRC),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(c) for v, c in zip(values, out_cols)],
+    )
+    rhs = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_time).alias(_ORD),
+        F.lit(0).alias(_SRC),
+        *[F.col(v).alias(c) for v, c in zip(values, out_cols)],
+    )
+
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # ties: value rows sort before probe rows so rt == lt is
+        # visible (non-strict); strict reverses the tie order
+        order = [F.col(_ORD).asc(), F.col(_SRC).asc() if not strict else F.col(_SRC).desc()]
+        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        picked = [F.last(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
+    else:
+        order = [F.col(_ORD).asc(), F.col(_SRC).desc() if not strict else F.col(_SRC).asc()]
+        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+        picked = [F.first(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
+
+    resolved = unioned.select(*left_cols, _ORD, _SRC, *picked)
+    return resolved.where(F.col(_SRC) == 1).drop(_ORD, _SRC)

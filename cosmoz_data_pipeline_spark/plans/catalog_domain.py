@@ -1,0 +1,201 @@
+"""Domain (cosmoz level-pipeline) queries — the parity core.
+
+Covers SURVEY §2 operators: S1/S2 scans, P1-P7 predicates, J1
+broadcast dim join, J3 day-grain join, J4 hour-grain join, J5/J6
+as-of fallbacks, J7-J9 dedup, A1-A3 window aggregates, W1-W4 windows,
+F1-F18 scalar kit, T2 copy/retag — each exercised end-to-end by the
+level transforms and checked against an independent DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..domain import levels, oracles
+from ..domain.synth import domain_prelude, load_domain
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt_time(df: DataFrame) -> DataFrame:
+    return df.withColumn("time", F.date_format("time", _TS_FMT))
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), 6))
+    return out
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    d = load_domain(spark, sf_dir)
+    return levels.run_pipeline(
+        d["raw_values"], d["intensity"], d["silo_data"], d["all_stations"]
+    )
+
+
+@register(
+    "domain_raw_values",
+    f"""{domain_prelude()}
+SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, site_no, flag, count,
+       pressure1, internal_temperature, internal_humidity, battery, tube_temperature,
+       tube_humidity, rain, vwc1, vwc2, vwc3, pressure2, external_temperature,
+       external_humidity
+FROM raw_values""",
+    doc="S3-analog source materialization: the synthetic raw_values table "
+    "(schema per /root/reference/pipeline/csv_influx_converter.py:350-374).",
+)
+def q_domain_raw_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_time(load_domain(spark, sf_dir)["raw_values"])
+
+
+@register(
+    "level1",
+    oracles.LEVEL1_ORACLE,
+    doc="raw→level1: W1 lag-diff, J7-J9 29-min windowed dedup, F8 flag ladder "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:340-429).",
+)
+def q_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_time(_pipeline(spark, sf_dir)["level1"])
+
+
+@register(
+    "level2",
+    oracles.LEVEL2_ORACLE,
+    doc="level1→level2: J1 broadcast dim join, J3 day-grain SILO join, J4 "
+    "hour-grain intensity join, J5/J6 as-of fallbacks, F1-F4/F9/F10 physics "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:171-314).",
+)
+def q_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fmt_time(_pipeline(spark, sf_dir)["level2"])
+    return _r6(df, ["press_corr", "wv_corr", "intensity_corr", "corr_count"]).select(
+        "time", "site_no", "flag", "count", "press_corr", "wv_corr",
+        "intensity_corr", "corr_count", "rain",
+    )
+
+
+@register(
+    "level3",
+    oracles.LEVEL3_ORACLE,
+    doc="level2→level3: J1 broadcast join, F5-F8 soil-moisture physics + flag ladder "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:96-168).",
+)
+def q_level3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fmt_time(_pipeline(spark, sf_dir)["level3"])
+    return _r6(df, ["soil_moist", "effective_depth", "rainfall"]).select(
+        "time", "site_no", "flag", "soil_moist", "effective_depth", "rainfall"
+    )
+
+
+@register(
+    "level4",
+    oracles.LEVEL4_ORACLE,
+    doc="level3→level4: W3/A1 centered ±3h+1s range-frame average with LIMIT-7 cap "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:42-93).",
+)
+def q_level4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fmt_time(_pipeline(spark, sf_dir)["level4"])
+    return _r6(
+        df,
+        ["soil_moist", "effective_depth", "rainfall", "soil_moist_filtered", "depth_filtered"],
+    ).select(
+        "time", "site_no", "soil_moist", "effective_depth", "rainfall",
+        "soil_moist_filtered", "depth_filtered",
+    )
+
+
+@register(
+    "t02_copy_retag_series",
+    f"""{domain_prelude()}
+SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, 99 AS site_no, intensity
+FROM intensity WHERE site_no = 2""",
+    doc="T2 copy/retag (INSERT SELECT): one site's intensity series rewritten "
+    "under a new site tag (/root/reference/pipeline/csv_influx_converter.py:53-93).",
+)
+def q_copy_retag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_domain(spark, sf_dir)
+    return (
+        d["intensity"]
+        .where(F.col("site_no") == 2)
+        .select(
+            F.date_format("time", _TS_FMT).alias("time"),
+            F.lit(99).alias("site_no"),
+            "intensity",
+        )
+    )
+
+
+@register(
+    "s14_delete_where_antijoin",
+    f"""{domain_prelude()}
+SELECT strftime(r."time", '%Y-%m-%d %H:%M:%S') AS time, r.site_no, r.count, r.battery
+FROM raw_values r
+WHERE NOT EXISTS (
+    SELECT 1 FROM raw_values b
+    WHERE b.site_no = r.site_no AND b."time" = r."time" AND b.battery < 10)""",
+    doc="S14 point-delete expressed as an anti-join rewrite (fix_raws, "
+    "/root/reference/pipeline/cosmoz_process_levels.py:432-453): delete "
+    "per-(site,time) keys then keep the rest.",
+)
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    bad_keys = raw.where(F.col("battery") < 10).select("site_no", "time")
+    return raw.join(bad_keys, ["site_no", "time"], "left_anti").select(
+        F.date_format("time", _TS_FMT).alias("time"), "site_no", "count", "battery"
+    )
+
+
+@register(
+    "j10_near_duplicate_pairs",
+    f"""{domain_prelude()}
+SELECT strftime(a."time", '%Y-%m-%d %H:%M:%S') AS time_a,
+       strftime(b."time", '%Y-%m-%d %H:%M:%S') AS time_b,
+       a.site_no, a.count
+FROM raw_values a
+JOIN raw_values b
+  ON a.site_no = b.site_no
+ AND b."time" >= a."time" - INTERVAL 29 MINUTE AND b."time" < a."time"
+ AND a.count = b.count
+ AND a.battery = b.battery
+ AND a.tube_temperature = b.tube_temperature
+ AND a.rain = b.rain
+ AND (CASE WHEN a.pressure1 <> 0 THEN a.pressure1 ELSE a.pressure2 END)
+   = (CASE WHEN b.pressure1 <> 0 THEN b.pressure1 ELSE b.pressure2 END)""",
+    doc="J10 fuzzy near-duplicate semi-join: 5 probe fields equal within a "
+    "29-min lookback (/root/reference/pipeline/detect_duplicates.py:59-88), "
+    "as a banded range self-join (time-bucket expansion, no skewed "
+    "site-only shuffle).",
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    probe = raw.select(
+        "site_no",
+        "time",
+        "count",
+        "battery",
+        "tube_temperature",
+        "rain",
+        F.when(F.col("pressure1") != 0, F.col("pressure1"))
+        .otherwise(F.col("pressure2"))
+        .alias("probe_pressure"),
+    )
+    pairs = banded_range_join(
+        probe,
+        probe,
+        key="site_no",
+        left_time="time",
+        right_time="time",
+        lower_seconds=29 * 60,
+        equal_cols=["count", "battery", "tube_temperature", "rain", "probe_pressure"],
+    )
+    return pairs.select(
+        F.date_format("left_time", _TS_FMT).alias("time_a"),
+        F.date_format("right_time", _TS_FMT).alias("time_b"),
+        "site_no",
+        "count",
+    )

@@ -1,0 +1,540 @@
+"""LLM-training-data pipeline extension operators (BASELINE.json north
+star): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(language-ID / quality / tokens / fingerprint), multimodal column
+plumbing.
+
+Because the shipped corpus contains no duplicates, dedup queries run
+on a deterministic *augmented* corpus: originals + exact copies
+(doc_id%11==0 → +100000) + near copies with 2 extra tokens
+(doc_id%5==0 → +200000) — built identically in Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..functions import text as tx
+from ..sources.tables import load_table
+from .registry import register
+
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+# ---------------------------------------------------------------- corpus
+
+_DOCS_AUG_SQL = """
+docs_aug AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 11 = 0
+    UNION ALL
+    SELECT doc_id + 200000, 'qqstart ' || text || ' qqend', lang, source
+    FROM documents WHERE doc_id % 5 = 0
+)"""
+
+_TOKS_SQL = r"""
+tk AS (
+    SELECT *, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM docs_aug
+)"""
+
+_SHINGLES_SQL = """
+sh AS (
+    SELECT *, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+    FROM tk
+)"""
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("qqstart "), F.col("text"), F.lit(" qqend")).alias("text"),
+        "lang",
+        "source",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "x_dedup_exact",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+FROM docs_aug GROUP BY 1 HAVING COUNT(*) > 1""",
+    doc="Exact dedup: hash-groupBy over document text, canonical = min id. "
+    "Map-side partial agg; at 100 TB this is one shuffle of 16-byte hashes.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs_aug(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()},
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS shash
+    FROM sh),
+sg AS (
+    SELECT doc_id, list_transform(generate_series(0, {MINHASH_K - 1}),
+        i -> list_min(list_transform(shash,
+                 h -> ((976369 + 104729 * i) * h + (67890 + 12345 * i)) % 2147483647)))
+        AS sig
+    FROM hs),
+bands AS (
+    SELECT doc_id, unnest(list_transform(generate_series(0, {LSH_BANDS - 1}),
+        b -> md5(CAST(b AS VARCHAR) || '|' ||
+                 array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], '|'))))
+        AS band_key
+    FROM sg),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       list_sum(list_transform(generate_series(1, {MINHASH_K}),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {MINHASH_K}e0
+           AS est_jaccard
+FROM cand c
+JOIN sg sa ON sa.doc_id = c.doc_a
+JOIN sg sb ON sb.doc_id = c.doc_b""",
+    doc="MinHash+LSH near-dedup: shingle → 12-hash MinHash signature → 4×3 "
+    "banding → equi-join on band keys → candidate pairs + estimated Jaccard. "
+    "The only shuffle is on band keys (tiny); no all-pairs comparison.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    # Signatures via explode → builtin md5/arithmetic → groupBy-min:
+    # every expression stays inside whole-stage codegen (array-lambda
+    # HOFs would run interpreted — measured 40× slower), the min-agg
+    # combines map-side, and the only shuffle is on doc_id. persist:
+    # the signature table feeds three plan branches (banding + both
+    # sides of the candidate join).
+    exploded = docs.select(
+        "doc_id", F.explode(tx.word_shingles(tx.tokens(F.col("text")))).alias("shingle")
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    mins = exploded.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min(
+                (
+                    F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i) * F.col("h")
+                    + F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
+                )
+                % F.lit(tx.MINHASH_P)
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    sigs = mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    ).persist()
+    bands = sigs.select(
+        "doc_id", F.explode(tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            tx.signature_agreement(F.col("sig_a"), F.col("sig_b"), MINHASH_K).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+@register(
+    "x_dedup_simhash",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 15), j ->
+           CASE WHEN list_sum(list_transform(toks, t ->
+                    CASE WHEN substr(md5(t), j + 1, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+                THEN 1 << j ELSE 0 END)) AS INT) AS simhash,
+       CAST(list_sum(list_transform(generate_series(0, 15), j ->
+           CASE WHEN list_sum(list_transform(toks, t ->
+                    CASE WHEN substr(md5(t), j + 1, 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+                THEN 1 << j ELSE 0 END)) AS INT) >> 8 AS bucket
+FROM tk""",
+    doc="SimHash document signatures: 16-bit sign-of-weighted-bit-sum over "
+    "token md5s, plus a top-byte bucket for banding. Pure integer "
+    "arithmetic → engine-exact.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    sh = tx.simhash16(tx.tokens(F.col("text"))).cast("int")
+    return docs.select("doc_id", sh.alias("simhash"), F.shiftright(sh, 8).alias("bucket"))
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.shingles, b.shingles))
+         / CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 6e-1""",
+    doc="Exact n-gram Jaccard near-dup pairs within a blocking key "
+    "(source): word-3-gram set intersection/union. The blocking join "
+    "bounds the pair explosion; MinHash-LSH is the unblocked scale path.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", "source", tx.word_shingles(tx.tokens(F.col("text"))).alias("shingles")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src"), F.col("shingles").alias("sh_b")
+    )
+    pairs = a.join(b, "src").where(F.col("doc_a") < F.col("doc_b"))
+    jac = tx.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(F.col("jaccard") >= 0.6)
+
+
+# ------------------------------------------------------------ similarity
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select("vec_id", "label", v.alias("v"), sim.norm(v).alias("nrm"))
+
+
+@register(
+    "x_ann_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
+                                                i -> v[i] * v[i]), 'sum')) AS nrm
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(generate_series(1, len(q.v)),
+                                               i -> q.v[i] * n.v[i]), 'sum')
+                 / (q.nrm * n.nrm), 6) AS cosine
+    FROM q JOIN n ON q.vec_id <> n.vec_id)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored) t
+WHERE rk <= 5""",
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "score every vector (JVM-side fold, no UDF), rank per query. At scale: "
+    "queries broadcast once, corpus scanned once, TakeOrdered per query.",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        vecs.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+    )
+    scored = (
+        vecs.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                sim.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "x_ann_lsh_buckets",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(0, 7), p ->
+               CASE WHEN list_aggregate(list_transform(generate_series(1, len(v)),
+                   i -> v[i] * CAST((1103515245 * i + 12345 * (p + 1)) % 2000001
+                                    - 1000000 AS DOUBLE)), 'sum') > 0
+                    THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+    FROM e)
+SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+FROM b""",
+    doc="Sign-random-projection LSH bucketing (the ANN scale path): 8 "
+    "deterministic integer-LCG hyperplanes → 256 buckets; search only "
+    "probes matching buckets. Bucket assignment is a narrow map — no "
+    "shuffle until the per-bucket candidate join.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    b = e.select("vec_id", sim.srp_bucket(v, 8).cast("int").alias("bucket"))
+    return b.select(
+        "vec_id", "bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size")
+    )
+
+
+@register(
+    "x_embed_cosine_neardup",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
+                                                i -> v[i] * v[i]), 'sum')) AS nrm
+      FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                           i -> a.v[i] * b.v[i]), 'sum')
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_aggregate(list_transform(generate_series(1, len(a.v)),
+                                          i -> a.v[i] * b.v[i]), 'sum')
+            / (a.nrm * b.nrm), 6) >= 8e-1""",
+    doc="Embedding-cosine near-duplicate pairs within a blocking key "
+    "(label): the embedding-similarity dedup modality. Blocked self-join "
+    "keeps the pair count linear-ish; LSH buckets are the unblocked path.",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(sim.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
+    return pairs.select("vec_a", "vec_b", "label", cos.alias("cosine")).where(
+        F.col("cosine") >= 0.8
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+_LANG_A = ["the", "a", "join", "row"]
+_LANG_B = ["data", "table", "query"]
+_LANG_C = ["spark", "stream", "batch"]
+
+
+@register(
+    "x_text_langid",
+    f"""
+WITH tk AS (SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+SELECT doc_id, lang,
+       len(list_filter(toks, t -> list_contains({_LANG_A!r}, t))) AS score_a,
+       len(list_filter(toks, t -> list_contains({_LANG_B!r}, t))) AS score_b,
+       len(list_filter(toks, t -> list_contains({_LANG_C!r}, t))) AS score_c,
+       CASE WHEN len(list_filter(toks, t -> list_contains({_LANG_A!r}, t)))
+                 >= len(list_filter(toks, t -> list_contains({_LANG_B!r}, t)))
+             AND len(list_filter(toks, t -> list_contains({_LANG_A!r}, t)))
+                 >= len(list_filter(toks, t -> list_contains({_LANG_C!r}, t))) THEN 'en'
+            WHEN len(list_filter(toks, t -> list_contains({_LANG_B!r}, t)))
+                 >= len(list_filter(toks, t -> list_contains({_LANG_C!r}, t))) THEN 'es'
+            ELSE 'zh' END AS lang_guess
+FROM tk""",
+    doc="Language-ID heuristic: wordlist-hit scores per candidate language, "
+    "argmax with deterministic tie order — the n-gram/stopword LangID shape "
+    "as pure array expressions.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sa = tx.token_set_score(toks, _LANG_A)
+    sb = tx.token_set_score(toks, _LANG_B)
+    sc = tx.token_set_score(toks, _LANG_C)
+    guess = (
+        F.when((sa >= sb) & (sa >= sc), "en").when(sb >= sc, "es").otherwise("zh")
+    )
+    return docs.select(
+        "doc_id", "lang",
+        sa.cast("long").alias("score_a"),
+        sb.cast("long").alias("score_b"),
+        sc.cast("long").alias("score_c"),
+        guess.alias("lang_guess"),
+    )
+
+
+@register(
+    "x_text_quality",
+    r"""
+WITH tk AS (SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, t -> list_contains(['the','a','of','to'], t))) AS stop_hits,
+       round(len(list_filter(toks, t -> list_contains(['the','a','of','to'], t)))
+             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+       length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS punct_count,
+       round(5e-1 * (len(list_filter(toks, t -> list_contains(['the','a','of','to'], t)))
+                     / CAST(len(toks) AS DOUBLE))
+             + 5e-1 * least(len(toks) / 1e2, 1e0), 6) AS quality_score
+FROM tk""",
+    doc="Document quality scoring: token count, stopword ratio, punctuation "
+    "density, composite score — the heuristic-quality-filter stage of a "
+    "training-data pipeline.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    stop_hits = tx.token_set_score(toks, ["the", "a", "of", "to"])
+    n_tokens = F.size(toks)
+    stop_ratio = stop_hits / n_tokens.cast("double")
+    punct = F.length("text") - F.length(F.regexp_replace("text", "[!?.,;:]", ""))
+    quality = F.round(
+        F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        punct.cast("long").alias("punct_count"),
+        quality.alias("quality_score"),
+    )
+
+
+@register(
+    "x_text_tokens",
+    r"""
+WITH tk AS (SELECT doc_id, text, n_chars,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_measured,
+       length(text) = n_chars AS n_chars_ok,
+       round(length(regexp_replace(text, '\s', '', 'g'))
+             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       len(regexp_extract_all(lower(text), '[a-z]{1,4}')) AS bpe_ish_pieces
+FROM tk""",
+    doc="Token counting: whitespace tokens, char counts (validated against "
+    "the corpus n_chars), average token length, BPE-ish ≤4-char piece count "
+    "via regex — all scan-local narrow transforms.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")) / F.size(toks).cast("double"), 6
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{1,4}"), 0))
+        .cast("long")
+        .alias("bpe_ish_pieces"),
+    )
+
+
+@register(
+    "x_text_fingerprint",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()},
+fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+    FROM docs_aug)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
+FROM fp""",
+    doc="Canonical document fingerprinting: md5 over the sorted distinct "
+    "token set (case/order/dup-insensitive) + per-fingerprint group size — "
+    "catches reordered/duplicated text that raw hashing misses.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    fp = docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_same_fingerprint"),
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+@register(
+    "x_multimodal_decode_stub",
+    """
+WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       16 AS n_bytes,
+       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS header_byte,
+       CASE WHEN (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < 128
+            THEN 'RGB' ELSE 'L' END AS mode,
+       16 + (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) * 16 AS width
+FROM b""",
+    doc="Multimodal column plumbing: opaque binary 'image' column (16-byte "
+    "deterministic fake payload) decoded by an Arrow-batched mapInPandas "
+    "stub — real schema/partitioning/batch shape, stubbed codec (real "
+    "image libs are out of scope per the build contract). The oracle "
+    "recomputes the header fields arithmetically.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("img"))
+
+    def decode(batches):
+        for pdf in batches:
+            img = pdf["img"]
+            header = img.map(lambda b: b[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": img.map(len).astype("int32"),
+                    "header_byte": header.astype("int64"),
+                    "mode": header.map(lambda h: "RGB" if h < 128 else "L"),
+                    "width": (16 + (header % 8) * 16).astype("int64"),
+                }
+            )
+
+    return with_bin.mapInPandas(
+        decode,
+        schema="doc_id long, n_bytes int, header_byte long, mode string, width long",
+    )

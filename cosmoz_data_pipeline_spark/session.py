@@ -1,0 +1,72 @@
+"""SparkSession construction & session hardening.
+
+The engine is designed for a large multi-executor cluster; locally we
+run ``local[N]``. Every knob below is motivated by the 100 TB target:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting (hot ``site_no`` partitions — the reference hand-sharded
+  per site via one OS process per site,
+  /root/reference/pipeline/cosmoz_process_levels.py:739-744).
+- ``spark.sql.session.timeZone=UTC``: the reference computes entirely
+  in UTC (/root/reference/pipeline/cosmoz_process_levels.py:44).
+- nanos-as-long: the driver test parquet stores TIMESTAMP(NANOS)
+  which Spark's vectorized reader rejects; we read the raw int64 and
+  convert explicitly (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "cosmoz-data-pipeline-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = APP_NAME,
+) -> SparkSession:
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-created session.
+
+    The correctness driver builds its own SparkSession; these confs
+    are all runtime-settable and required for deterministic,
+    oracle-comparable results.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # immutable in this session; loaders have fallbacks
+    return spark

@@ -1,0 +1,70 @@
+"""Unit tests for the as-of join kit (SURVEY §2.3 J5/J6) — the
+reference's fallback-chain semantics
+(/root/reference/pipeline/level1->level2.sql:113-124)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cosmoz_data_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2021, 1, 1, h, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(5)), (1, _ts(9)), (2, _ts(3))],
+        "site int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(5), 50.0), (1, _ts(7), 70.0), (2, _ts(4), 40.0)],
+        "site int, t timestamp, v double",
+    )
+    return left, right
+
+
+def test_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["site"], left_time="t", right_time="t",
+        values=["v"], direction="backward", suffix="_bw",
+    )
+    got = {(r.site, r.t.hour): r.v_bw for r in out.collect()}
+    # t=1h → last at-or-before is 0h; t=5h ties exactly → inclusive; t=9h → 7h
+    assert got == {(1, 1): 10.0, (1, 5): 50.0, (1, 9): 70.0, (2, 3): None}
+
+
+def test_backward_strict(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["site"], left_time="t", right_time="t",
+        values=["v"], direction="backward", suffix="_bw", strict=True,
+    )
+    got = {(r.site, r.t.hour): r.v_bw for r in out.collect()}
+    assert got[(1, 5)] == 10.0  # tie excluded under strict <
+
+
+def test_forward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["site"], left_time="t", right_time="t",
+        values=["v"], direction="forward", suffix="_fw",
+    )
+    got = {(r.site, r.t.hour): r.v_fw for r in out.collect()}
+    assert got == {(1, 1): 50.0, (1, 5): 50.0, (1, 9): None, (2, 3): 40.0}
+
+
+def test_single_shuffle_plan(spark):
+    """The as-of join must be one shuffle (union+window), not a join."""
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["site"], left_time="t", right_time="t",
+        values=["v"], direction="backward",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator anywhere
+    assert plan.count("Exchange") <= 2  # union inputs share one hashpartition

@@ -1,0 +1,80 @@
+"""Unit tests for text/similarity column builders and the banded range
+join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cosmoz_data_pipeline_spark.functions import similarity as sim
+from cosmoz_data_pipeline_spark.functions import text as tx
+from cosmoz_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("The quick  brown fox jumps",)], "text string")
+    row = df.select(
+        tx.tokens(F.col("text")).alias("toks"),
+        tx.word_shingles(tx.tokens(F.col("text"))).alias("sh"),
+    ).first()
+    assert row.toks == ["the", "quick", "brown", "fox", "jumps"]
+    assert row.sh == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    short = spark.createDataFrame([("one two",)], "text string")
+    assert short.select(
+        tx.word_shingles(tx.tokens(F.col("text"))).alias("sh")
+    ).first().sh == ["one two"]
+
+
+def test_minhash_identical_docs_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        "id int, text string",
+    )
+    sigs = df.select(
+        "id", tx.minhash_signature(tx.word_shingles(tx.tokens(F.col("text"))), 8).alias("sig")
+    ).collect()
+    by_id = {r.id: r.sig for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert len(by_id[1]) == 8
+
+
+def test_jaccard_and_fingerprint(spark):
+    df = spark.createDataFrame([("a b c", "b c d")], "x string, y string")
+    j = df.select(
+        tx.jaccard(tx.tokens(F.col("x")), tx.tokens(F.col("y"))).alias("j")
+    ).first().j
+    assert abs(j - 2 / 4) < 1e-12
+    fp = spark.createDataFrame(
+        [("B a a c",), ("c  a b",)], "text string"
+    ).select(tx.fingerprint(F.col("text")).alias("f")).collect()
+    assert fp[0].f == fp[1].f  # order/case/dup-insensitive
+
+
+def test_cosine(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 2.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    rows = df.select(
+        sim.cosine(F.col("a"), F.col("b"), sim.norm(F.col("a")), sim.norm(F.col("b"))).alias("c")
+    ).collect()
+    assert abs(rows[0].c - 0.0) < 1e-12
+    assert abs(rows[1].c - 1.0) < 1e-12
+
+
+def test_banded_range_join(spark):
+    def t(minute):
+        return dt.datetime(2021, 1, 1, 0, minute)
+
+    df = spark.createDataFrame(
+        [(1, t(0), 5), (1, t(20), 5), (1, t(58), 5), (1, t(59), 7), (2, t(10), 5)],
+        "site int, time timestamp, cnt int",
+    )
+    pairs = banded_range_join(
+        df, df, key="site", left_time="time", right_time="time",
+        lower_seconds=29 * 60, equal_cols=["cnt"],
+    ).collect()
+    got = {(r.left_time.minute, r.right_time.minute) for r in pairs}
+    # 20 sees 0 (20min back); 58 does NOT see 20 (38min back > 29); 59 has
+    # different cnt; cross-site never pairs
+    assert got == {(20, 0)}
