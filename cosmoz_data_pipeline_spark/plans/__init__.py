@@ -9,5 +9,7 @@ from .registry import REGISTRY, Query, register
 from . import catalog_core  # noqa: E402,F401
 from . import catalog_domain  # noqa: E402,F401
 from . import catalog_ext  # noqa: E402,F401
+from . import catalog_sources  # noqa: E402,F401
+from . import catalog_streaming  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,172 @@
+"""Source-format operators (SURVEY §2.1 S3-S6) + J11.
+
+The reference's file loaders are driver-side row loops; here each
+format is parsed *distributed*: the raw line corpus is synthesized
+deterministically from the shared parquet (so the oracle can rebuild
+the identical lines), then parsed with engine primitives — from_csv
+(S3), substring/trim fixed-width slicing with NULL-pad repair (S5),
+multi-format date coalescing (S6). At 100 TB these are narrow
+scan-local maps: no shuffle, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_TSF = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "s03_csv_parse",
+    """
+WITH lines AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey AS VARCHAR) || '\t' || CAST(l_linenumber AS VARCHAR)
+             || '\t' || l_returnflag || '\t' || CAST(round(l_quantity, 2) AS VARCHAR)
+             || '\t' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS line
+    FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       string_split(line, '\t')[3] AS returnflag,
+       TRY_CAST(string_split(line, '\t')[4] AS DOUBLE) AS quantity,
+       strftime(TRY_CAST(string_split(line, '\t')[5] AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS shipdate
+FROM lines""",
+    doc="S3: tab-delimited record parsing — the reference's TSV loaders "
+    "(/root/reference/pipeline/csv_influx_converter.py:96-374, zip(header,"
+    "row) dicts) as a distributed from_csv parse with explicit schema; "
+    "lines synthesized from lineitem so the oracle can rebuild them.",
+)
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        "\t",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        "l_returnflag",
+        F.round("l_quantity", 2).cast("string"),
+        F.date_format("l_shipdate", _TSF),
+    )
+    lines = li.select("l_orderkey", "l_linenumber", line.alias("line"))
+    parsed = lines.withColumn(
+        "rec",
+        F.from_csv(
+            "line",
+            "okey long, lineno long, returnflag string, quantity double, shipdate timestamp_ntz",
+            {"sep": "\t", "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss"},
+        ),
+    )
+    return parsed.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("rec.returnflag").alias("returnflag"),
+        F.col("rec.quantity").alias("quantity"),
+        F.date_format("rec.shipdate", _TSF).alias("shipdate"),
+    )
+
+
+@register(
+    "s05_fixed_width_parse",
+    """
+WITH lines AS (
+    SELECT s_suppkey,
+           rpad(s_name, 28, ' ')
+             || rpad(CASE WHEN s_suppkey % 7 = 0 THEN '' ELSE CAST(s_nationkey AS VARCHAR) END, 6, ' ')
+             || lpad(CAST(round(s_acctbal, 2) AS VARCHAR), 12, ' ') AS line
+    FROM supplier)
+SELECT s_suppkey,
+       trim(substr(line, 1, 28)) AS name,
+       TRY_CAST(nullif(trim(substr(line, 29, 6)), '') AS INT) AS nationkey,
+       TRY_CAST(trim(substr(line, 35, 12)) AS DOUBLE) AS acctbal
+FROM lines""",
+    doc="S5: fixed-width text parsing with pad-aware NULL repair — the "
+    "calibration .txt loader (/root/reference/pipeline/"
+    "csv_mongodb_converter.py:104-195: pad runs → NULL markers) as "
+    "substring slicing + trim + nullif, all scan-local.",
+)
+def q_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    line = F.concat(
+        F.rpad("s_name", 28, " "),
+        F.rpad(
+            F.when(F.col("s_suppkey") % 7 == 0, F.lit("")).otherwise(
+                F.col("s_nationkey").cast("string")
+            ),
+            6,
+            " ",
+        ),
+        F.lpad(F.round("s_acctbal", 2).cast("string"), 12, " "),
+    )
+    lines = s.select("s_suppkey", line.alias("line"))
+    return lines.select(
+        "s_suppkey",
+        F.trim(F.substring("line", 1, 28)).alias("name"),
+        F.nullif(F.trim(F.substring("line", 29, 6)), F.lit(""))
+        .cast("int")
+        .alias("nationkey"),
+        F.trim(F.substring("line", 35, 12)).cast("double").alias("acctbal"),
+    )
+
+
+@register(
+    "s06_dual_date_parse",
+    """
+WITH lines AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_str
+    FROM orders)
+SELECT o_orderkey, date_str,
+       strftime(coalesce(try_strptime(date_str, '%Y-%m-%d'),
+                         try_strptime(date_str, '%d/%m/%Y')), '%Y-%m-%d') AS parsed_date
+FROM lines""",
+    doc="S6: dual-date-format CSV parsing — coalesce(to_date(f1), "
+    "to_date(f2)) over mixed dd/mm/yyyy and ISO cells "
+    "(/root/reference/pipeline/csv_mongodb_converter.py:197-244).",
+)
+def q_dual_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    date_str = F.when(
+        F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "dd/MM/yyyy")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    lines = o.select("o_orderkey", date_str.alias("date_str"))
+    parsed = F.coalesce(
+        F.try_to_timestamp("date_str", F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp("date_str", F.lit("dd/MM/yyyy")),
+    )
+    return lines.select(
+        "o_orderkey", "date_str", F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date")
+    )
+
+
+@register(
+    "j11_latest_asof_pick",
+    """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+    FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:00') t
+WHERE rk = 1""",
+    doc="J11: latest-record-at-or-before-a-date pick per key — the imei→site "
+    "resolution over multiple installations "
+    "(/root/reference/nmdb/mongo_db.py:20-56) as a ranked window.",
+)
+def q_latest_asof_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.where(F.col("o_orderdate") <= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )

@@ -1,0 +1,133 @@
+"""Streaming / incremental / stateful queries (SURVEY §2.9).
+
+st5's oracle is a DuckDB *recursive CTE* — an independent second
+implementation of the validity recurrence, so the hash-compare is a
+genuine cross-check of the applyInPandas operator. The streaming
+queries run real Structured Streaming jobs (AvailableNow) into temp
+sinks and return the sink contents; their oracles check the
+deterministic parts (the window-filtered recompute; the distinct key
+set of the dedup).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..domain.synth import domain_prelude
+from ..sources.tables import load_table
+from ..streaming.incremental import incremental_overwrite, stream_dedup_to_sink
+from ..streaming.stateful import validate_sequential
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "st5_stateful_validity",
+    """
+WITH RECURSIVE seq AS (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events),
+walk AS (
+    SELECT user_id, ts, value, rn,
+           true AS valid, value AS last_valid, ts AS last_valid_ts
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.ts, s.value, s.rn,
+           (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+             OR (s.value >= 8e-1 * w.last_valid AND s.value <= 1.2e0 * w.last_valid)
+             AS valid,
+           CASE WHEN (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+                     OR (s.value >= 8e-1 * w.last_valid AND s.value <= 1.2e0 * w.last_valid)
+                THEN s.value ELSE w.last_valid END AS last_valid,
+           CASE WHEN (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+                     OR (s.value >= 8e-1 * w.last_valid AND s.value <= 1.2e0 * w.last_valid)
+                THEN s.ts ELSE w.last_valid_ts END AS last_valid_ts
+    FROM seq s
+    JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value, valid,
+       round(last_valid, 6) AS last_valid
+FROM walk""",
+    doc="ST5/W2: run-dependent sequential validation (±20%% vs previous "
+    "VALID value, 24 h staleness exemption — "
+    "/root/reference/nmdb/entrypoint.py:122-134, nmdb/config.py:12-13) as "
+    "applyInPandas per key; oracle = DuckDB recursive CTE.",
+)
+def q_stateful_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    out = validate_sequential(
+        ev, key="user_id", time_col="ts", value_col="value", order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+        "valid",
+        F.round("last_valid", 6).alias("last_valid"),
+    )
+
+
+@register(
+    "st1_incremental_overwrite",
+    f"""{domain_prelude()}
+SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, site_no, count, battery
+FROM raw_values WHERE "time" >= TIMESTAMP '2021-01-01 12:00:00'""",
+    doc="ST1/S12: incremental window recompute + dynamic partition overwrite "
+    "— write only the touched site_no partitions of a parquet table, read "
+    "back the sink (the reference's DROP SERIES + rewrite, "
+    "/root/reference/pipeline/cosmoz_process_levels.py:56-58; cron window "
+    "process_levels.sh:19-20).",
+)
+def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain.synth import load_domain
+
+    raw = load_domain(spark, sf_dir)["raw_values"].select(
+        "time", "site_no", "count", "battery"
+    )
+    sink = tempfile.mkdtemp(prefix="cosmoz_st1_")
+    # first a full write, then the incremental overwrite of the window —
+    # proving idempotent re-runs only touch the window's partitions
+    incremental_overwrite(raw, sink, since="2021-01-01 00:00:00")
+    incremental_overwrite(raw, sink, since="2021-01-01 12:00:00")
+    back = spark.read.parquet(sink).where(
+        F.col("time") >= F.lit("2021-01-01 12:00:00").cast("timestamp_ntz")
+    )
+    return back.select(
+        F.date_format("time", _TS_FMT).alias("time"),
+        F.col("site_no").cast("int").alias("site_no"),
+        "count",
+        "battery",
+    )
+
+
+@register(
+    "st6_stream_dedup_watermark",
+    """
+SELECT DISTINCT user_id, event_type FROM events""",
+    doc="ST6/ST1/ST3: real Structured-Streaming job — readStream over the "
+    "events parquet, 24 h watermark, dropDuplicatesWithinWatermark on "
+    "(user_id, event_type), Trigger.AvailableNow, foreachBatch "
+    "parquet sink; returns the deduped key set (deterministic part — "
+    "which duplicate survives is arrival-order-dependent).",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cosmoz_st6_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream_dedup_to_sink(
+        spark,
+        source_dir=src,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+        schema=schema,
+        dedup_cols=["user_id", "event_type"],
+        time_col="ts",
+    )
+    return spark.read.parquet(sink).select("user_id", "event_type")

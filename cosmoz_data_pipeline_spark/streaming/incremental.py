@@ -1,0 +1,98 @@
+"""Incremental / streaming layer (SURVEY §2.9 ST1-ST4, ST6).
+
+The reference's deployment model is scheduled incremental batch: every
+run reprocesses [now − backprocess, now] per site and overwrites that
+slice (/root/reference/pipeline/cosmoz_process_levels.py:42-48, 56-58;
+process_levels.sh:19-20), with the *intent* of a streaming
+materialized view (CREATE CONTINUOUS QUERY,
+pipeline/raw->level1.sql:69-70). Spark gives both:
+
+- ``incremental_overwrite``: the batch form — recompute a window,
+  dynamic-partition-overwrite only the touched (site_no) partitions.
+  Idempotent, re-runnable, the 100 TB-safe equivalent of
+  DROP SERIES + rewrite.
+- ``stream_dedup_to_sink``: the streaming form — ``readStream`` over
+  an append directory, 24 h event-time watermark (ST3,
+  nmdb/config.py:12-13), ``dropDuplicatesWithinWatermark`` (ST6 — the
+  29-min ingest dedup generalized to watermark-bounded state),
+  ``Trigger.AvailableNow`` micro-batch (ST1) into a parquet sink via
+  ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_overwrite(
+    transformed: DataFrame,
+    sink_dir: str,
+    since: str,
+    time_col: str = "time",
+    partition_col: str = "site_no",
+) -> None:
+    """Write ``transformed`` rows with ``time_col >= since`` into a
+    parquet table partitioned by ``partition_col``, overwriting ONLY
+    the partitions present in this batch (dynamic mode) — the
+    reference's per-site DROP SERIES + rewrite
+    (cosmoz_process_levels.py:56-58) without the full-table clobber.
+    """
+    spark = transformed.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            transformed.where(F.col(time_col) >= F.lit(since).cast("timestamp_ntz"))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(sink_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stream_dedup_to_sink(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    dedup_cols: Sequence[str],
+    time_col: str = "time",
+    watermark: str = "24 hours",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Structured-Streaming ingest: parquet append dir → watermark →
+    dropDuplicatesWithinWatermark → (optional batch transform) →
+    parquet sink, processing all available data then stopping
+    (Trigger.AvailableNow — the cron-style incremental run, ST1).
+
+    The duplicate state is bounded by the watermark, so executor
+    memory is O(keys within watermark) however large the backlog —
+    the property the reference's 29-min SortedList lookback
+    (cosmoz_process_levels.py:348-351) only had per-site in-process.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        # watermarks require TIMESTAMP (LTZ); under the UTC session tz
+        # the NTZ→LTZ cast is a no-op rebase
+        .withColumn(time_col, F.col(time_col).cast("timestamp"))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(list(dedup_cols))
+    )
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        out.write.mode("append").parquet(sink_dir)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
