@@ -227,19 +227,34 @@ def level3_to_level4(level3: DataFrame) -> DataFrame:
         Window.partitionBy("site_no").orderBy(secs).rangeBetween(-10801, 10801)
     )
 
-    def windowed_mean(col: str) -> F.Column:
-        capped = F.slice(F.collect_list(F.col(col)).over(frame), 1, 7)
-        total = F.aggregate(capped, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(F.size(capped) > 0, total / F.size(capped)).otherwise(F.col(col))
-
-    return valid.select(
+    # one window aggregate per column: materialize the capped frame
+    # array ONCE, then fold over the column reference — an expression
+    # that inlines slice(collect_list(...)) at each use point would run
+    # the window aggregate 3× per column
+    windowed = valid.select(
         "time",
         "site_no",
         "soil_moist",
         "effective_depth",
         "rainfall",
-        windowed_mean("soil_moist").alias("soil_moist_filtered"),
-        windowed_mean("effective_depth").alias("depth_filtered"),
+        F.slice(F.collect_list("soil_moist").over(frame), 1, 7).alias("_sm_l"),
+        F.slice(F.collect_list("effective_depth").over(frame), 1, 7).alias("_ed_l"),
+    )
+
+    def fold_mean(arr: str, own: str) -> F.Column:
+        total = F.aggregate(F.col(arr), F.lit(0.0), lambda acc, x: acc + x)
+        return (
+            F.when(F.size(arr) > 0, total / F.size(arr)).otherwise(F.col(own))
+        )
+
+    return windowed.select(
+        "time",
+        "site_no",
+        "soil_moist",
+        "effective_depth",
+        "rainfall",
+        fold_mean("_sm_l", "soil_moist").alias("soil_moist_filtered"),
+        fold_mean("_ed_l", "effective_depth").alias("depth_filtered"),
     )
 
 

@@ -535,3 +535,61 @@ def q_ascii_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("line")
     )
     return parse_nmdb_lines(lines)
+
+
+@register(
+    "t03_tolerance_diff",
+    """
+WITH u AS (SELECT l_orderkey, l_linenumber, max(l_extendedprice) AS price
+            FROM lineitem GROUP BY 1, 2),
+a AS (SELECT l_orderkey, l_linenumber, price AS price_a FROM u),
+b AS (SELECT l_orderkey, l_linenumber,
+             price * (1e0 + CASE WHEN l_orderkey % 97 = 0 THEN 1e-3 ELSE 1e-9 END)
+                 AS price_b
+      FROM u)
+SELECT a.l_orderkey, a.l_linenumber,
+       round(abs(a.price_a - b.price_b), 6) AS abs_diff
+FROM a JOIN b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+WHERE NOT (abs(a.price_a - b.price_b) <= 1e-5
+           OR abs(a.price_a - b.price_b)
+              <= 1e-6 * abs(b.price_b))""",
+    doc="T1 tolerance table-diff: the reference's golden parallel-table "
+    "comparison with abs-OR-relative float thresholds "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:483-620) as a "
+    "distributed keyed join + tolerance predicate; rows failing BOTH "
+    "tolerances are the reported mismatches. Inputs: lineitem vs a "
+    "deterministically perturbed copy (1e-9 within tolerance, 1e-3 not).",
+)
+def q_tolerance_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tolerance import tolerance_diff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the corpus — reduce
+    # to one row per key so the diff is keyed, like the golden tests
+    u = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_extendedprice").alias("price")
+    )
+    a = u.select("l_orderkey", "l_linenumber", F.col("price").alias("price_a"))
+    b = u.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("price")
+            * (
+                F.lit(1.0)
+                + F.when(F.col("l_orderkey") % 97 == 0, F.lit(1e-3)).otherwise(F.lit(1e-9))
+            )
+        ).alias("price_b"),
+    )
+    return tolerance_diff(
+        a,
+        b,
+        keys=["l_orderkey", "l_linenumber"],
+        pairs=[("price_a", "price_b")],
+        abs_tol=1e-5,
+        rel_tol=1e-6,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("abs_diff_price_a", 6).alias("abs_diff"),
+    )

@@ -538,3 +538,123 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema="doc_id long, n_bytes int, header_byte long, mode string, width long",
     )
+
+
+# IVF centroids: K deterministic hyperplane-free centroids; component
+# (j, i) = ((j+1)*i mod 7 - 3) / 3 for 1-based i — exact integer
+# arithmetic in any engine
+IVF_K = 4
+
+# scalar-quantized (SQ) coarse search: components floor(v·1000) and
+# integer centroids make distances exact BIGINT arithmetic — no
+# float-summation-order drift between engines, and quantized coarse
+# distance is how production IVF indexes work anyway
+_IVF_SQL = f"""
+cent AS (
+    SELECT j, i, CAST((((j + 1) * i) % 7 - 3) * 333 AS BIGINT) AS w
+    FROM generate_series(0, {IVF_K - 1}) t(j), generate_series(1, 64) s(i)),
+ex AS (
+    SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e3) AS BIGINT) AS v
+    FROM embeddings, generate_series(1, 64) s(i)),
+dist AS (
+    SELECT ex.vec_id, cent.j,
+           sum((ex.v - cent.w) * (ex.v - cent.w)) AS d2
+    FROM ex JOIN cent ON ex.i = cent.i
+    GROUP BY 1, 2),
+mind AS (
+    SELECT vec_id, min(d2) AS md FROM dist GROUP BY 1),
+assign AS (
+    SELECT d.vec_id, min(d.j) AS cluster
+    FROM dist d JOIN mind m ON d.vec_id = m.vec_id AND d.d2 = m.md
+    GROUP BY 1)
+"""
+
+
+@register(
+    "x_ann_ivf_assign",
+    f"""WITH {_IVF_SQL.lstrip()}
+SELECT a.vec_id, a.cluster, c.n AS cluster_size
+FROM assign a
+JOIN (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY 1) c
+  ON a.cluster = c.cluster""",
+    doc="IVF (inverted-file) ANN partitioning: assign every vector to its "
+    "nearest of K deterministic centroids — the coarse-quantization step "
+    "that lets search probe one cluster instead of the corpus. Implemented "
+    "codegen-first: posexplode the vectors, broadcast-join the tiny "
+    "centroid table, partial-agg the squared distances, arg-min per "
+    "vector — every step whole-stage-codegen, shuffles keyed on vec_id. "
+    "(d2 rounded to 9dp before arg-min so float ties break identically "
+    "across engines.)",
+)
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "v")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("v") * 1e3).cast("bigint").alias("v"),
+    )
+    cent = spark.range(IVF_K).select(F.col("id").alias("j")).crossJoin(
+        spark.range(1, 65).select(F.col("id").alias("i"))
+    ).select("j", "i", ((((F.col("j") + 1) * F.col("i")) % 7 - 3) * 333).cast("bigint"))
+    cent = cent.toDF("j", "i", "w")
+    dist = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("d2"))
+    )
+    # exact integer distances; ties break to the lowest cluster id
+    assign = dist.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2").alias("d"), F.col("j").alias("j"))).alias("m")
+    ).select("vec_id", F.col("m.j").alias("cluster"))
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assign.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
+
+
+@register(
+    "x_multimodal_frame_sample",
+    """
+WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+hdr AS (
+    SELECT doc_id, h,
+           (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0
+    FROM b),
+frames AS (
+    SELECT doc_id, b0 % 4 + 1 AS n_frames FROM hdr)
+SELECT f.doc_id, t.frame_idx,
+       (strpos('0123456789abcdef', substr(hdr.h, 2 * t.frame_idx + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hdr.h, 2 * t.frame_idx + 2, 1)) - 1)
+         AS frame_byte
+FROM frames f
+JOIN hdr ON hdr.doc_id = f.doc_id
+JOIN LATERAL (SELECT unnest(generate_series(1, f.n_frames)) AS frame_idx) t ON true""",
+    doc="Multimodal 1→N frame sampling: an opaque binary 'video' column "
+    "expanded to one row per sampled frame by an Arrow-batched mapInPandas "
+    "(real binary slicing, variable fan-out per input row — the shape an "
+    "actual ffmpeg/PIL decode stage has; codec itself stubbed as "
+    "deterministic bytes per the build contract).",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("video"))
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_byte = [], [], []
+            for doc_id, video in zip(pdf["doc_id"], pdf["video"]):
+                n_frames = video[0] % 4 + 1
+                for k in range(1, n_frames + 1):
+                    out_doc.append(doc_id)
+                    out_idx.append(k)
+                    out_byte.append(video[k])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_byte": out_byte}
+            ).astype({"doc_id": "int64", "frame_idx": "int64", "frame_byte": "int64"})
+
+    return with_bin.mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, frame_byte long"
+    )

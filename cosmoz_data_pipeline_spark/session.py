@@ -45,6 +45,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE from coalescing small-benchmark shuffles below the
+        # key parallelism (8-22 sites) — at production scale partitions
+        # far exceed these floors, so the settings are inert there
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4mb")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -64,6 +69,8 @@ def harden_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4mb"),
     ):
         try:
             spark.conf.set(key, value)

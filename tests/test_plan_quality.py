@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plan — pushdown at the scan, broadcast
+for dimensions, no join in the as-of composition, codegen in the hot
+path."""
+
+from __future__ import annotations
+
+from cosmoz_data_pipeline_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = REGISTRY[name].run(spark, sf_dir)
+    if execute:  # AQE plans print one collapsed line until final;
+        # collect() (not count()) finalizes THIS DataFrame's plan
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s01_scan_pushdown")
+    # the time-range predicate must reach the parquet scan (row-group
+    # pruning); the plan string truncates the filter list, so assert on
+    # the leading entries
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s01_scan_pushdown")
+    # unprojected wide column must not appear anywhere in the scan
+    assert "l_comment" not in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j01_dim_join_rollup")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a01_pricing_summary")
+    # map-side combine: two HashAggregate phases around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_has_no_join_operator(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j05_asof_backward_join")
+    assert "Join" not in plan  # union+window, not a join
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o01_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_in_physics(spark, sf_dir):
+    # '*(' prefixes are whole-stage-codegen spans in the simple plan
+    # format (under AQE the string form nests the initial plan)
+    plan = _plan(spark, sf_dir, "level2", execute=True)
+    assert "*(" in plan
