@@ -170,3 +170,57 @@ def q_latest_asof_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") == 1)
     )
+
+
+@register(
+    "s04_typed_decimal_dimension",
+    """
+WITH lines AS (
+    SELECT CAST(s_suppkey AS VARCHAR) || '\t' || s_name || '\t'
+             || CASE WHEN s_suppkey % 50 = 0 THEN 'N/A'
+                     ELSE CAST(CAST(floor(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+                END AS line
+    FROM supplier),
+parsed AS (
+    SELECT CAST(string_split(line, '\t')[1] AS BIGINT) AS suppkey,
+           string_split(line, '\t')[2] AS name,
+           TRY_CAST(string_split(line, '\t')[3] AS DECIMAL(18,4)) AS cents
+    FROM lines)
+SELECT suppkey, name,
+       CAST(coalesce(cents, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) / 100
+           AS acctbal,
+       CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS bad_flag
+FROM parsed""",
+    doc="S4+F22: dimension TSV -> typed table with DECIMAL parsing and "
+    "error fallback — the reference's station loader builds Decimal128 "
+    "calibration dicts (/root/reference/pipeline/csv_mongodb_converter.py:"
+    "30-101) and its float() casts fall back to 0.0 + bad flag on parse "
+    "failure (/root/reference/pipeline/csv_influx_converter.py:76-80, "
+    "308-315). Distributed: synthesized TSV lines -> split -> try_cast "
+    "DECIMAL(18,4) -> coalesce(0) + flag; a narrow scan-local map, "
+    "no shuffle. Every 50th key carries a deliberately corrupt token.",
+)
+def q_typed_decimal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    tok = (
+        F.when(F.col("s_suppkey") % 50 == 0, F.lit("N/A"))
+        .otherwise(F.floor(F.col("s_acctbal") * 100).cast("bigint").cast("string"))
+    )
+    lines = sup.select(
+        F.concat_ws("\t", F.col("s_suppkey").cast("string"), "s_name", tok).alias("line")
+    )
+    p = F.split("line", "\t")
+    parsed = lines.select(
+        p.getItem(0).cast("bigint").alias("suppkey"),
+        p.getItem(1).alias("name"),
+        F.expr("try_cast(split(line, '\t')[2] AS DECIMAL(18,4))").alias("cents"),
+    )
+    return parsed.select(
+        "suppkey",
+        "name",
+        (
+            F.coalesce(F.col("cents"), F.lit(0).cast("decimal(18,4)")).cast("double")
+            / 100
+        ).alias("acctbal"),
+        F.when(F.col("cents").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("bad_flag"),
+    )

@@ -131,3 +131,50 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
     )
     return spark.read.parquet(sink).select("user_id", "event_type")
+
+
+@register(
+    "st2_catchup_cursor",
+    """
+WITH cur AS (
+    SELECT event_type, date_trunc('hour', max(ts)) AS cursor
+    FROM events GROUP BY 1),
+now_t AS (
+    SELECT date_trunc('hour', max(ts)) + INTERVAL 2 HOUR AS now FROM events)
+SELECT c.event_type,
+       strftime(c.cursor, '%Y-%m-%d %H:%M:%S') AS cursor,
+       strftime(unnest(generate_series(c.cursor + INTERVAL 1 HOUR, n.now,
+                              INTERVAL 1 HOUR)), '%Y-%m-%d %H:%M:%S') AS step_ts
+FROM cur c, now_t n""",
+    doc="ST2: per-key catch-up cursor — the NMDB fetcher resumes each "
+    "site from its stored max(time) and steps forward one hour at a "
+    "time until 'now' (/root/reference/nmdb/entrypoint.py:69-99). "
+    "Distributed: groupBy-max cursor per key, broadcast the scalar "
+    "'now', sequence()+explode materializes each key's fetch manifest "
+    "— one shuffle for the agg, the fan-out is scan-local.",
+)
+def q_catchup_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.max("ts")).alias("cursor")
+    )
+    now_t = ev.agg(
+        (F.date_trunc("hour", F.max("ts")) + F.expr("INTERVAL 2 HOUR")).alias("now")
+    )
+    return (
+        cur.crossJoin(F.broadcast(now_t))
+        .select(
+            "event_type",
+            F.date_format("cursor", _TS_FMT).alias("cursor"),
+            F.explode(
+                F.sequence(
+                    F.col("cursor") + F.expr("INTERVAL 1 HOUR"),
+                    F.col("now"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("step"),
+        )
+        .select(
+            "event_type", "cursor", F.date_format("step", _TS_FMT).alias("step_ts")
+        )
+    )

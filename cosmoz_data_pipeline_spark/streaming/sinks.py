@@ -1,0 +1,75 @@
+"""Batched sinks with retry (SURVEY §2.1 S8-S10, §2.9 ST9).
+
+The reference's writers accumulate 10 points, flush, and on a server
+timeout sleep 5 s and retry the flush exactly once
+(/root/reference/pipeline/influx_cached_writer.py:8-51, duplicated at
+/root/reference/nmdb/influx_db.py:16-59); the document sink batches
+inserts the same way (/root/reference/pipeline/csv_mongodb_converter.py:
+78-101) and the duplicate-candidate report is written as a text file
+(/root/reference/pipeline/detect_duplicates.py:89-110).
+
+Spark-first redesign: batching is native (a write task streams a whole
+partition), so the unit of retry is the *micro-batch*, not 10 rows.
+``RetryingBatchSink`` wraps a ``foreachBatch`` function with the
+reference's bounded retry-after-backoff policy; because Structured
+Streaming may itself re-deliver a batch after failure, the wrapped
+write must be idempotent — pair it with dynamic partition overwrite
+(streaming.incremental) or a batch_id-keyed path. At scale this is
+executor-parallel: no driver-side row loop, no per-point round trip.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+class RetryingBatchSink:
+    """foreachBatch wrapper: on failure sleep ``backoff_s`` and retry,
+    up to ``retries`` times (reference policy: retries=1, backoff=5).
+
+    ``retryable`` classifies exceptions; non-retryable ones propagate
+    immediately (the reference only retries server timeouts).
+    """
+
+    def __init__(
+        self,
+        write_fn: Callable[[DataFrame, int], None],
+        retries: int = 1,
+        backoff_s: float = 5.0,
+        retryable: Callable[[Exception], bool] = lambda _e: True,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.write_fn = write_fn
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.retryable = retryable
+        self.sleep = sleep
+        self.attempts = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(self.retries + 1):
+            self.attempts += 1
+            try:
+                self.write_fn(batch_df, batch_id)
+                return
+            except Exception as exc:
+                if attempt >= self.retries or not self.retryable(exc):
+                    raise
+                self.sleep(self.backoff_s)
+
+
+def write_report(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """S10: report sink — the duplicate-candidate report as a
+    distributed single-directory write (json or csv) instead of a
+    driver-side text file. Callers coalesce(1) only for tiny reports.
+    """
+    writer = df.write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        raise ValueError(f"unsupported report format: {fmt}")
