@@ -209,7 +209,11 @@ def level2_to_level3(level2: DataFrame, all_stations: DataFrame) -> DataFrame:
     )
 
 
-def level3_to_level4(level3: DataFrame) -> DataFrame:
+def level3_to_level4(
+    level3: DataFrame,
+    all_stations: DataFrame | None = None,
+    spec_mode: bool = False,
+) -> DataFrame:
     """level3 → level4: centered ±(3 h + 1 s) moving average over
     valid rows, capped at the first 7 (cosmoz_process_levels.py:42-93;
     level3->level4.sql:40-61).
@@ -220,6 +224,14 @@ def level3_to_level4(level3: DataFrame) -> DataFrame:
     time-ordered, so slice(…, 1, 7) reproduces InfluxQL's LIMIT 7, and
     a sequential fold reproduces its MEAN exactly. When the window is
     somehow empty the row's own value is used (:71-77).
+
+    ``spec_mode`` restores the SQL view's installation-date filter
+    (level3->level4.sql:63-64, ``Timestamp >= InstallationDate``)
+    that the deployed Python omits (SURVEY §7.3): output rows before
+    the site's installation are dropped via a broadcast dimension
+    join. The averaging window still sees all flag-0 rows — the SQL
+    UDFs query Level3View, which has no installation filter
+    (level3->level4.sql:51-61).
     """
     valid = level3.where(F.col("flag") == 0)
     secs = F.col("time").cast("long")
@@ -247,7 +259,7 @@ def level3_to_level4(level3: DataFrame) -> DataFrame:
             F.when(F.size(arr) > 0, total / F.size(arr)).otherwise(F.col(own))
         )
 
-    return windowed.select(
+    out = windowed.select(
         "time",
         "site_no",
         "soil_moist",
@@ -256,6 +268,16 @@ def level3_to_level4(level3: DataFrame) -> DataFrame:
         fold_mean("_sm_l", "soil_moist").alias("soil_moist_filtered"),
         fold_mean("_ed_l", "effective_depth").alias("depth_filtered"),
     )
+    if spec_mode:
+        if all_stations is None:
+            raise ValueError("spec_mode requires all_stations")
+        inst = F.broadcast(all_stations.select("site_no", "installation_date"))
+        out = (
+            out.join(inst, "site_no")
+            .where(F.col("time") >= F.col("installation_date"))
+            .drop("installation_date")
+        )
+    return out
 
 
 def run_pipeline(
@@ -263,10 +285,11 @@ def run_pipeline(
     intensity: DataFrame,
     silo_data: DataFrame,
     all_stations: DataFrame,
+    spec_mode: bool = False,
 ) -> dict[str, DataFrame]:
     """Full four-level pipeline as one lazily-composed logical plan."""
     l1 = raw_to_level1(raw)
     l2 = level1_to_level2(l1, intensity, silo_data, all_stations)
     l3 = level2_to_level3(l2, all_stations)
-    l4 = level3_to_level4(l3)
+    l4 = level3_to_level4(l3, all_stations, spec_mode=spec_mode)
     return {"level1": l1, "level2": l2, "level3": l3, "level4": l4}

@@ -248,3 +248,21 @@ SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, site_no,
 FROM level4
 """,
 )
+
+# SQL-spec mode (SURVEY §7.3): the view's installation-date filter
+# (level3->level4.sql:63-64) restored on the output rows; the moving
+# average still runs over the unfiltered flag-0 set, as the SQL UDFs
+# query Level3View which carries no installation filter (:51-61)
+LEVEL4_SPEC_ORACLE = _q(
+    LEVEL4_CTES,
+    """
+SELECT strftime(l4."time", '%Y-%m-%d %H:%M:%S') AS time, l4.site_no,
+       round(l4.soil_moist, 6) AS soil_moist,
+       round(l4.effective_depth, 6) AS effective_depth,
+       round(l4.rainfall, 6) AS rainfall,
+       round(l4.soil_moist_filtered, 6) AS soil_moist_filtered,
+       round(l4.depth_filtered, 6) AS depth_filtered
+FROM level4 l4 JOIN all_stations st ON l4.site_no = st.site_no
+WHERE l4."time" >= st.installation_date
+""",
+)

@@ -199,3 +199,27 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "site_no",
         "count",
     )
+
+
+@register(
+    "level4_spec_mode",
+    oracles.LEVEL4_SPEC_ORACLE,
+    doc="P7/J1: level4 in SQL-spec mode — the installation-date filter the "
+    "deployed Python omits (/root/reference/pipeline/level3->level4.sql:"
+    "63-64 vs /root/reference/pipeline/cosmoz_process_levels.py:53), "
+    "restored as a broadcast dimension join + predicate per SURVEY §7.3. "
+    "Site 6 installs after the series start, so its early rows drop.",
+)
+def q_level4_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_domain(spark, sf_dir)
+    l4 = levels.run_pipeline(
+        d["raw_values"], d["intensity"], d["silo_data"], d["all_stations"],
+        spec_mode=True,
+    )["level4"]
+    return _r6(
+        _fmt_time(l4),
+        ["soil_moist", "effective_depth", "rainfall", "soil_moist_filtered", "depth_filtered"],
+    ).select(
+        "time", "site_no", "soil_moist", "effective_depth", "rainfall",
+        "soil_moist_filtered", "depth_filtered",
+    )

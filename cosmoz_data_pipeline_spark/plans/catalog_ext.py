@@ -325,7 +325,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_aggregate(list_transform(generate_series(1, len(a.v)),
                                           i -> a.v[i] * b.v[i]), 'sum')
-            / (a.nrm * b.nrm), 6) >= 8e-1""",
+            / (a.nrm * b.nrm), 6) >= 3.5e-1""",
     doc="Embedding-cosine near-duplicate pairs within a blocking key "
     "(label): the embedding-similarity dedup modality. Blocked self-join "
     "keeps the pair count linear-ish; LSH buckets are the unblocked path.",
@@ -341,7 +341,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
     cos = F.round(sim.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
     return pairs.select("vec_a", "vec_b", "label", cos.alias("cosine")).where(
-        F.col("cosine") >= 0.8
+        F.col("cosine") >= 0.35
     )
 
 
