@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_both
 from . import physics
 
 # payload columns compared by the duplicate detector. The reference
@@ -139,13 +139,11 @@ def level1_to_level2(
         .join(hourly, ["site_no", "hr"], "left")
         .join(silo_pick, ["site_no", "day"], "left")
     )
-    enriched = asof_join(
+    # both as-of directions in ONE union+shuffle+sort; the forward
+    # side's tie-blindness is safe behind the backward coalesce
+    enriched = asof_join_both(
         enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
-        values=["intensity"], direction="backward", suffix="_bw",
-    )
-    enriched = asof_join(
-        enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
-        values=["intensity"], direction="forward", suffix="_fw",
+        values=["intensity"], backward_suffix="_bw", forward_suffix="_fw",
     )
     enriched = enriched.join(stations, "site_no")
 

@@ -87,3 +87,63 @@ def asof_join(
 
     resolved = unioned.select(*left_cols, _ORD, _SRC, *picked)
     return resolved.where(F.col(_SRC) == 1).drop(_ORD, _SRC)
+
+
+def asof_join_both(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    values: Sequence[str],
+    backward_suffix: str = "_bw",
+    forward_suffix: str = "_fw",
+) -> DataFrame:
+    """Backward AND forward as-of in ONE pass: one union, one shuffle,
+    one sort — both window frames are evaluated by a single Window
+    operator because they share the partitioning and ordering.
+
+    Tie semantics: value rows sort before probe rows at equal time, so
+    the backward side sees rt == lt matches (non-strict) while the
+    forward side does NOT (its frame starts at the probe row). That is
+    exactly right for the reference's fallback chain — the forward
+    lookup only fires when the backward one found nothing
+    (/root/reference/pipeline/cosmoz_process_levels.py:263-274,
+    level1->level2.sql:113-124), and an equal-time row would have been
+    caught backward. For standalone forward semantics use asof_join.
+    """
+    on = list(on)
+    values = list(values)
+    bw_cols = [v + backward_suffix for v in values]
+    fw_cols = [v + forward_suffix for v in values]
+
+    left_cols = left.columns
+    lhs = left.select(
+        *left_cols,
+        F.col(left_time).alias(_ORD),
+        F.lit(1).alias(_SRC),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v + "__v") for v in values],
+    )
+    rhs = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_time).alias(_ORD),
+        F.lit(0).alias(_SRC),
+        *[F.col(v).alias(v + "__v") for v in values],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    base = Window.partitionBy(*on).orderBy(F.col(_ORD).asc(), F.col(_SRC).asc())
+    bw_frame = base.rowsBetween(Window.unboundedPreceding, 0)
+    fw_frame = base.rowsBetween(0, Window.unboundedFollowing)
+    picked = [
+        F.last(v + "__v", ignorenulls=True).over(bw_frame).alias(c)
+        for v, c in zip(values, bw_cols)
+    ] + [
+        F.first(v + "__v", ignorenulls=True).over(fw_frame).alias(c)
+        for v, c in zip(values, fw_cols)
+    ]
+    resolved = unioned.select(*left_cols, _ORD, _SRC, *picked)
+    return resolved.where(F.col(_SRC) == 1).drop(_ORD, _SRC)

@@ -119,17 +119,31 @@ JOIN sg sb ON sb.doc_id = c.doc_b""",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    # Signatures via explode → builtin md5/arithmetic → groupBy-min:
-    # every expression stays inside whole-stage codegen (array-lambda
-    # HOFs would run interpreted — measured 40× slower), the min-agg
-    # combines map-side, and the only shuffle is on doc_id. persist:
-    # the signature table feeds three plan branches (banding + both
-    # sides of the candidate join).
-    exploded = docs.select(
-        "doc_id", F.explode(tx.word_shingles(tx.tokens(F.col("text")))).alias("shingle")
+    # Signatures fully inside whole-stage codegen: posexplode tokens →
+    # lead()-window 3-gram shingles → builtin md5/arithmetic →
+    # groupBy-min. (An array-lambda transform() for the shingles runs
+    # INTERPRETED — measured ~4 s for 338 k shingles at sf0.1 vs <1 s
+    # this way.) The lead window partitions by doc_id, which the
+    # min-agg groupBy reuses — one shuffle total. MinHash's min is
+    # insensitive to duplicate shingles, so the oracle's
+    # list_distinct needs no mirror here. persist: the signature
+    # table feeds three plan branches (banding + both candidate-join
+    # sides).
+    toked = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    seqw = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
+    shingle = (
+        F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
+        # <3-token doc: single whole-text shingle, emitted at pos 0
+        .when(F.col("pos") == 0, F.concat_ws(" ", "tok", t1))
+    )
+    sh = toked.select("doc_id", shingle.alias("shingle")).where(
+        F.col("shingle").isNotNull()
     )
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
-    mins = exploded.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+    mins = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
             F.min(
                 (

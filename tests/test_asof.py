@@ -8,7 +8,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from cosmoz_data_pipeline_spark.operators.asof import asof_join
+from cosmoz_data_pipeline_spark.operators.asof import asof_join, asof_join_both
 
 
 def _ts(h: int, m: int = 0) -> dt.datetime:
@@ -68,3 +68,27 @@ def test_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # no join operator anywhere
     assert plan.count("Exchange") <= 2  # union inputs share one hashpartition
+
+def test_both_directions_fused(spark):
+    """asof_join_both = backward asof_join + forward semantics, one
+    shuffle; forward side is tie-blind (safe behind backward coalesce)."""
+    left, right = _frames(spark)
+    out = asof_join_both(
+        left, right, on=["site"], left_time="t", right_time="t", values=["v"],
+    )
+    got = {(r.site, r.t.hour): (r.v_bw, r.v_fw) for r in out.collect()}
+    assert got[(1, 1)] == (10.0, 50.0)
+    assert got[(1, 9)] == (70.0, None)
+    assert got[(2, 3)] == (None, 40.0)
+    # the t=5h tie: backward sees it; forward is tie-blind by design,
+    # and coalesce(bw, fw) still resolves to the tied value
+    assert got[(1, 5)][0] == 50.0
+
+    # AQE plan string repeats the initial plan — inspect the final only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    # both frames evaluate in ONE window operator over ONE shuffle+sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1
