@@ -202,6 +202,56 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a02_last_star_selector",
+    f"""{domain_prelude()}
+SELECT site_no, strftime(CAST("time" AS DATE), '%Y-%m-%d') AS day,
+       strftime("time", '%Y-%m-%d %H:%M:%S') AS time, count, battery
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY site_no, CAST("time" AS DATE)
+                                 ORDER BY "time" DESC) AS rn
+    FROM raw_values) t
+WHERE rn = 1""",
+    doc="A2 LAST(*) selector: the latest full row per (site, day) — the "
+    "reference's per-row `SELECT LAST(*)` SILO lookup "
+    "(/root/reference/pipeline/cosmoz_process_levels.py:209-216) as ONE "
+    "max_by(struct, time) aggregation: map-side partial agg, single "
+    "shuffle on the group key, no window sort.",
+)
+def q_last_star_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    picked = raw.groupBy("site_no", F.to_date("time").alias("day")).agg(
+        F.max_by(F.struct("time", "count", "battery"), "time").alias("r")
+    )
+    return picked.select(
+        "site_no",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.date_format("r.time", _TS_FMT).alias("time"),
+        F.col("r.count").alias("count"),
+        F.col("r.battery").alias("battery"),
+    )
+
+
+@register(
+    "p06_row_validity_filter",
+    f"""{domain_prelude()}
+SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, site_no, pressure1, pressure2
+FROM raw_values
+WHERE NOT (nullif(pressure1, 0) IS NULL AND nullif(pressure2, 0) IS NULL)""",
+    doc="P6 row-validity filter: drop rows whose key measurements are all "
+    "missing (zero-sentinel → null, both null → invalid), the fix_raws "
+    "repair predicate (/root/reference/pipeline/cosmoz_process_levels.py:"
+    "438-444). Scan-local predicate — pushed to the parquet reader.",
+)
+def q_row_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    p1 = F.nullif(F.col("pressure1"), F.lit(0.0))
+    p2 = F.nullif(F.col("pressure2"), F.lit(0.0))
+    return raw.where(~(p1.isNull() & p2.isNull())).select(
+        F.date_format("time", _TS_FMT).alias("time"), "site_no", "pressure1", "pressure2"
+    )
+
+
+@register(
     "level4_spec_mode",
     oracles.LEVEL4_SPEC_ORACLE,
     doc="P7/J1: level4 in SQL-spec mode — the installation-date filter the "

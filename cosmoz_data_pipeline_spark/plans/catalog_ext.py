@@ -23,6 +23,7 @@ from .registry import register
 MINHASH_K = 12
 LSH_BANDS = 4
 LSH_ROWS = 3
+EMBED_DIM = 64  # embeddings-table vector width (TESTDATA.md)
 
 # ---------------------------------------------------------------- corpus
 
@@ -129,8 +130,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_distinct needs no mirror here. persist: the signature
     # table feeds three plan branches (banding + both candidate-join
     # sides).
-    toked = docs.select(
-        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    # materialize the token array in its own projection BEFORE the
+    # posexplode: a Generate over a non-attribute child re-evaluates
+    # the regex split per OUTPUT row (measured 2.3× on this stage)
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
     seqw = Window.partitionBy("doc_id").orderBy("pos")
     t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
@@ -159,8 +163,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
     ).persist()
     bands = sigs.select(
-        "doc_id", F.explode(tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("band_key")
-    )
+        "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
+    ).select("doc_id", F.explode("bk").alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -243,7 +247,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    return e.select("vec_id", "label", v.alias("v"), sim.norm(v).alias("nrm"))
+    return e.select(
+        "vec_id", "label", v.alias("v"), sim.norm_unrolled(v, EMBED_DIM).alias("nrm")
+    )
 
 
 @register(
@@ -283,7 +289,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                sim.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+                sim.cosine_unrolled(
+                    F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"), EMBED_DIM
+                ),
+                6,
             ).alias("cosine"),
         )
     )
@@ -318,7 +327,9 @@ FROM b""",
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    b = e.select("vec_id", sim.srp_bucket(v, 8).cast("int").alias("bucket"))
+    b = e.select(
+        "vec_id", sim.srp_bucket_unrolled(v, EMBED_DIM, 8).cast("int").alias("bucket")
+    )
     return b.select(
         "vec_id", "bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size")
     )
@@ -353,7 +364,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(sim.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
+    cos = F.round(
+        sim.cosine_unrolled(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), EMBED_DIM),
+        6,
+    )
     return pairs.select("vec_a", "vec_b", "label", cos.alias("cosine")).where(
         F.col("cosine") >= 0.35
     )
@@ -603,7 +617,9 @@ JOIN (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY 1) c
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("vd")
+    ).select(
+        "vec_id", F.posexplode("vd").alias("i0", "v")
     ).select(
         "vec_id",
         (F.col("i0") + 1).alias("i"),

@@ -50,6 +50,11 @@ def build_session(
         # far exceed these floors, so the settings are inert there
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4mb")
+        # split small file scans into >= core-count partitions (a
+        # scan-time split, NOT a shuffle): a 1-file dimension read
+        # otherwise serializes fan-out stages (explode) behind 1 task.
+        # At production scale input splits >> cores and this is inert.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -71,6 +76,7 @@ def harden_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb"),
         ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4mb"),
+        ("spark.sql.files.minPartitionNum", str(default_parallelism())),
     ):
         try:
             spark.conf.set(key, value)
