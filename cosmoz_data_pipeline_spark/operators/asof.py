@@ -74,16 +74,23 @@ def asof_join(
 
     unioned = lhs.unionByName(rhs)
 
+    # Both directions run as a GROWING frame ([unboundedPreceding,
+    # currentRow]) with last(ignorenulls) — a running O(1)-per-row
+    # aggregate. The forward direction reverses the sort instead of
+    # using [currentRow, unboundedFollowing]: Spark's unbounded-
+    # FOLLOWING frame re-evaluates the aggregate from scratch per row
+    # (O(n²) per key — measured 6.5 s vs 0.8 s on the level2 join).
     if direction == "backward":
         # ties: value rows sort before probe rows so rt == lt is
         # visible (non-strict); strict reverses the tie order
         order = [F.col(_ORD).asc(), F.col(_SRC).asc() if not strict else F.col(_SRC).desc()]
-        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        picked = [F.last(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
     else:
-        order = [F.col(_ORD).asc(), F.col(_SRC).desc() if not strict else F.col(_SRC).asc()]
-        frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-        picked = [F.first(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
+        # reversed scan: "earliest rt >= lt" == "latest in desc order";
+        # at equal time value rows must come first in scan order for
+        # non-strict (visible), after the probe for strict (hidden)
+        order = [F.col(_ORD).desc(), F.col(_SRC).asc() if not strict else F.col(_SRC).desc()]
+    frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    picked = [F.last(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
 
     resolved = unioned.select(*left_cols, _ORD, _SRC, *picked)
     return resolved.where(F.col(_SRC) == 1).drop(_ORD, _SRC)
@@ -99,15 +106,18 @@ def asof_join_both(
     backward_suffix: str = "_bw",
     forward_suffix: str = "_fw",
 ) -> DataFrame:
-    """Backward AND forward as-of in ONE pass: one union, one shuffle,
-    one sort — both window frames are evaluated by a single Window
-    operator because they share the partitioning and ordering.
+    """Backward AND forward as-of in ONE union + ONE shuffle: two
+    running-window passes (forward = backward over the reversed sort)
+    sharing the same hash partitioning, so the plan has a single
+    Exchange and two Sorts. Each pass is a growing-frame
+    last(ignorenulls) — O(n log n) per key; the naive
+    unbounded-FOLLOWING frame for the forward side would be O(n²)
+    (Spark re-evaluates that frame per row).
 
-    Tie semantics: value rows sort before probe rows at equal time, so
-    the backward side sees rt == lt matches (non-strict) while the
-    forward side does NOT (its frame starts at the probe row). That is
-    exactly right for the reference's fallback chain — the forward
-    lookup only fires when the backward one found nothing
+    Tie semantics: the backward side sees rt == lt matches
+    (non-strict) while the forward side does NOT. That is exactly
+    right for the reference's fallback chain — the forward lookup only
+    fires when the backward one found nothing
     (/root/reference/pipeline/cosmoz_process_levels.py:263-274,
     level1->level2.sql:113-124), and an equal-time row would have been
     caught backward. For standalone forward semantics use asof_join.
@@ -135,14 +145,23 @@ def asof_join_both(
     )
     unioned = lhs.unionByName(rhs)
 
-    base = Window.partitionBy(*on).orderBy(F.col(_ORD).asc(), F.col(_SRC).asc())
-    bw_frame = base.rowsBetween(Window.unboundedPreceding, 0)
-    fw_frame = base.rowsBetween(0, Window.unboundedFollowing)
+    bw_frame = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_ORD).asc(), F.col(_SRC).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # tie-blind forward: at equal time the probe row scans BEFORE the
+    # value row (src desc in desc order), hiding rt == lt matches
+    fw_frame = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_ORD).desc(), F.col(_SRC).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     picked = [
         F.last(v + "__v", ignorenulls=True).over(bw_frame).alias(c)
         for v, c in zip(values, bw_cols)
     ] + [
-        F.first(v + "__v", ignorenulls=True).over(fw_frame).alias(c)
+        F.last(v + "__v", ignorenulls=True).over(fw_frame).alias(c)
         for v, c in zip(values, fw_cols)
     ]
     resolved = unioned.select(*left_cols, _ORD, _SRC, *picked)

@@ -88,7 +88,9 @@ def test_both_directions_fused(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "Join" not in plan
-    # both frames evaluate in ONE window operator over ONE shuffle+sort
-    assert plan.count("Window") == 1
+    # two running-window passes (forward = reversed sort) sharing ONE
+    # shuffle — never an O(n²) unbounded-following frame
+    assert plan.count("Window") == 2
     assert plan.count("Exchange") == 1
-    assert plan.count("Sort [") == 1
+    assert plan.count("Sort [") == 2
+    assert "Following" not in plan
