@@ -212,6 +212,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_simhash_pairs",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()},
+sh AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 15), j ->
+               CASE WHEN list_sum(list_transform(toks, t ->
+                        CASE WHEN substr(md5(t), j + 1, 1)
+                             IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+                    THEN 1 << j ELSE 0 END)) AS INT) AS simhash
+    FROM tk)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b
+  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    doc="SimHash near-dup candidate pairs: equi-join on the top-byte "
+    "band (the blocking key — no all-pairs), then exact Hamming "
+    "distance <= 2 via bit_count(xor). Pure integer ops; the shuffle "
+    "carries only (doc_id, 16-bit signature).",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", tx.simhash16(tx.tokens(F.col("text"))).cast("int").alias("simhash")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    pairs = a.join(
+        b,
+        (F.shiftright("sim_a", 8) == F.shiftright("sim_b", 8))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= 2)
+
+
+@register(
     "x_dedup_ngram_jaccard",
     f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -615,7 +654,17 @@ JOIN (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY 1) c
     "across engines.)",
 )
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _ivf_assign(spark, sf_dir)
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assign.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id → nearest-centroid cluster (see x_ann_ivf_assign doc)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # the SQ distance computation is cheap but codegen-unrolled per
+    # dimension would blow up K×dim terms; posexplode + broadcast-join
+    # the centroid table + partial agg keeps it one narrow shuffle
     ex = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vd")
     ).select(
@@ -635,11 +684,63 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("d2"))
     )
     # exact integer distances; ties break to the lowest cluster id
-    assign = dist.groupBy("vec_id").agg(
+    return dist.groupBy("vec_id").agg(
         F.min(F.struct(F.col("d2").alias("d"), F.col("j").alias("j"))).alias("m")
     ).select("vec_id", F.col("m.j").alias("cluster"))
-    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return assign.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
+
+
+@register(
+    "x_ann_ivf_topk",
+    f"""WITH {_IVF_SQL.lstrip()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
+                                                i -> v[i] * v[i]), 'sum')) AS nrm
+      FROM e),
+nc AS (SELECT n.vec_id, n.v, n.nrm, a.cluster
+       FROM n JOIN assign a ON a.vec_id = n.vec_id),
+q AS (SELECT * FROM nc WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(generate_series(1, len(q.v)),
+                                               i -> q.v[i] * c.v[i]), 'sum')
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM q JOIN nc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored) t
+WHERE rk <= 3""",
+    doc="IVF ANN search (the scale path end-to-end): queries probe ONLY "
+    "their own coarse cluster — candidate scoring shrinks by ~K× vs "
+    "brute force. Broadcast the (tiny) query set, equi-join on cluster "
+    "id, unrolled-codegen cosine, rank within query. At 100 TB the "
+    "corpus is pre-partitioned by cluster so the probe is a partition-"
+    "pruned scan.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir).drop("label")
+    vc = vecs.join(_ivf_assign(spark, sf_dir), "vec_id")
+    q = F.broadcast(
+        vc.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cluster",
+        )
+    )
+    scored = vc.join(q, "cluster").where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            sim.cosine_unrolled(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"), EMBED_DIM),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("long").alias("rk")
+    ).where(F.col("rk") <= 3)
 
 
 @register(
