@@ -57,3 +57,32 @@ def test_whole_stage_codegen_in_physics(spark, sf_dir):
     # format (under AQE the string form nests the initial plan)
     plan = _plan(spark, sf_dir, "level2", execute=True)
     assert "*(" in plan
+
+
+def test_level2_stations_join_is_broadcast(spark, sf_dir):
+    # J1: the calibration dimension must never shuffle the fact side
+    plan = _plan(spark, sf_dir, "level2", execute=True)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_quadratic_window_frames(spark, sf_dir):
+    # an unbounded-FOLLOWING frame re-evaluates per row (O(n^2));
+    # every as-of/window op must use growing frames only
+    for name in ("level2", "level4", "j05_asof_backward_join", "j06_asof_forward_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "unboundedfollowing$()" not in plan.lower().replace(" ", ""), name
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    # the only non-equi joins allowed are broadcast nested loops
+    # against tiny query/dimension sets (ANN brute force)
+    for name in ("level2", "level4", "x_dedup_minhash_lsh", "x_ann_ivf_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_signature_computed_once(spark, sf_dir):
+    # the persisted signature table must serve all three consumers —
+    # banding plus both sides of the candidate join read the cache
+    plan = _plan(spark, sf_dir, "x_dedup_minhash_lsh")
+    assert plan.count("InMemoryTableScan") >= 3
