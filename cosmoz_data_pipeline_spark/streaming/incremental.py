@@ -34,20 +34,32 @@ def incremental_overwrite(
     time_col: str = "time",
     partition_col: str = "site_no",
 ) -> None:
-    """Write ``transformed`` rows with ``time_col >= since`` into a
-    parquet table partitioned by ``partition_col``, overwriting ONLY
-    the partitions present in this batch (dynamic mode) — the
-    reference's per-site DROP SERIES + rewrite
-    (cosmoz_process_levels.py:56-58) without the full-table clobber.
+    """Write ``transformed`` rows with ``time_col >= since`` (floored
+    to the day) into a parquet table partitioned by
+    ``(partition_col, p_date)``, overwriting ONLY the day partitions
+    present in this batch (dynamic mode).
+
+    The reference's incremental run point-overwrites the recomputed
+    window (InfluxDB upserts on (time, tags); DROP SERIES is an
+    optional full-site reset, cosmoz_process_levels.py:56-58) — rows
+    OUTSIDE the window survive. Day-grained dynamic partition
+    overwrite reproduces that durably at scale: the recompute window
+    is day-aligned, exactly its (site, day) partitions are replaced,
+    all earlier history is untouched, and re-runs are idempotent.
+    ``transformed`` must be built from the full input (window
+    functions near the boundary need pre-window context); the window
+    filter applies only at write time.
     """
     spark = transformed.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day_start = F.to_date(F.lit(since).cast("timestamp_ntz"))
     try:
         (
-            transformed.where(F.col(time_col) >= F.lit(since).cast("timestamp_ntz"))
+            transformed.where(F.to_date(time_col) >= day_start)
+            .withColumn("p_date", F.to_date(time_col))
             .write.mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(partition_col, "p_date")
             .parquet(sink_dir)
         )
     finally:
