@@ -124,6 +124,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+ROLLING_P = 2147483647
+ROLLING_MULT = 31
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Order-sensitive polynomial (Rabin-Karp-style) rolling hash over
+    the 32-bit md5 prefix of each token: h = fold(h*31 + tok_hash mod p)
+    seeded with the first token's hash. Pure int64 arithmetic (max
+    intermediate < 2^37) — engine-exact, and unlike the set fingerprint
+    it distinguishes reordered documents."""
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    return F.aggregate(
+        F.slice(hs, 2, F.size(hs) - 1),
+        F.element_at(hs, 1),
+        lambda acc, x: (acc * ROLLING_MULT + x) % F.lit(ROLLING_P),
+    )
+
+
 def token_set_score(toks: Column, wordlist: list[str]) -> Column:
     """#tokens contained in the wordlist (language-ID heuristic)."""
     arr = F.array(*[F.lit(w) for w in wordlist])

@@ -559,6 +559,36 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_text_rolling_hash",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()},
+rh AS (
+    SELECT doc_id,
+           list_reduce(list_transform(toks,
+                                      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+    FROM tk)
+SELECT doc_id, rolling_hash,
+       COUNT(*) OVER (PARTITION BY rolling_hash) AS n_same_hash
+FROM rh""",
+    doc="Order-sensitive document fingerprint: Rabin-Karp-style rolling "
+    "hash folded over per-token 32-bit md5 prefixes (exact copies "
+    "collide; reordered text does NOT — complements the sorted-set "
+    "fingerprint). Integer-exact fold, one narrow scan + one window "
+    "shuffle on the 8-byte hash.",
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_aug(spark, sf_dir)
+    rh = docs.select(
+        "doc_id", tx.rolling_hash(tx.tokens(F.col("text"))).alias("rolling_hash")
+    )
+    return rh.select(
+        "doc_id",
+        "rolling_hash",
+        F.count(F.lit(1)).over(Window.partitionBy("rolling_hash")).alias("n_same_hash"),
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 @register(
