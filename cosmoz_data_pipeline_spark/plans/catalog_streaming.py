@@ -12,6 +12,7 @@ set of the dedup).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,27 @@ from ..streaming.stateful import validate_sequential
 from .registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# One shared scratch root, wiped per query run (round 1 left a fresh
+# mkdtemp per run behind — slow for the driver and dirty for /tmp).
+_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "cosmoz_scratch")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _detach(df: DataFrame, scratch: str) -> DataFrame:
+    """Materialize ``df`` off its temp-parquet lineage
+    (localCheckpoint pins the rows in the block manager), then delete
+    the scratch dir so the query leaves no disk residue even though
+    the caller collects the result later."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 @register(
@@ -89,7 +111,8 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_domain(spark, sf_dir)["raw_values"].select(
         "time", "site_no", "count", "battery"
     )
-    sink = tempfile.mkdtemp(prefix="cosmoz_st1_")
+    scratch = _scratch("st1")
+    sink = os.path.join(scratch, "sink")
     # first a full write, then the incremental overwrite of the window —
     # proving idempotent re-runs only touch the window's partitions
     incremental_overwrite(raw, sink, since="2021-01-01 00:00:00")
@@ -97,12 +120,13 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(sink).where(
         F.col("time") >= F.lit("2021-01-01 12:00:00").cast("timestamp_ntz")
     )
-    return back.select(
+    out = back.select(
         F.date_format("time", _TS_FMT).alias("time"),
         F.col("site_no").cast("int").alias("site_no"),
         "count",
         "battery",
     )
+    return _detach(out, scratch)
 
 
 @register(
@@ -117,9 +141,12 @@ SELECT DISTINCT user_id, event_type FROM events""",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="cosmoz_st6_")
+    work = _scratch("st6")
     src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
-    ev.write.parquet(src)
+    # one source file → one AvailableNow micro-batch, so the
+    # watermark-bounded dedup equals the oracle's global DISTINCT
+    # (see stream_dedup_to_sink's dedup-guarantee note)
+    ev.coalesce(1).write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream_dedup_to_sink(
         spark,
@@ -130,7 +157,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_cols=["user_id", "event_type"],
         time_col="ts",
     )
-    return spark.read.parquet(sink).select("user_id", "event_type")
+    out = spark.read.parquet(sink).select("user_id", "event_type")
+    return _detach(out, work)
 
 
 @register(
