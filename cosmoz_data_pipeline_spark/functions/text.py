@@ -12,7 +12,7 @@ value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,10 +35,11 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 # MinHash universe: one md5 per shingle (the expensive part), truncated
 # to 32 bits, then k cheap independent integer hashes h_i = (a_i*h + b_i)
-# mod P derived from it. a_i < 2^21 and h < 2^32 keep products < 2^53 —
-# exact in int64 (and even float64) on any engine.
+# mod P derived from it. max(a_i) = A0 + 11*A_STEP = 2,088,590 < 2^21
+# and h < 2^32 keep every product < 2^53 — exact in int64 AND float64,
+# so parity holds even on an engine that evaluates in doubles.
 MINHASH_P = 2147483647
-MINHASH_A0, MINHASH_A_STEP = 976369, 104729
+MINHASH_A0, MINHASH_A_STEP = 976369, 101111
 MINHASH_B0, MINHASH_B_STEP = 67890, 12345
 
 
@@ -92,23 +93,52 @@ def signature_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
     return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(float(k))
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash: bit j is the sign of Σ_tokens (±1 by the top bit
-    of md5 hex digit j). Integer arithmetic only — engine-exact."""
-    high_nibbles = ["8", "9", "a", "b", "c", "d", "e", "f"]
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands — pigeonhole catches Hamming ≤ 3
 
-    def bit_score(j: int) -> Column:
-        return F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(t), j + 1, 1).isin(high_nibbles), 1).otherwise(-1),
-        )
 
-    out = F.lit(0)
-    for j in range(16):
-        out = out + F.when(bit_score(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+def simhash64_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document, returned as 4 × 16-bit band columns
+    ``s0..s3`` (s0 = bits 0-15 … s3 = bits 48-63; split keeps every
+    value positive in signed int64 on any engine).
+
+    Bit j of the signature is the sign of Σ_tokens (±1 by bit j of the
+    token's 64-bit md5 prefix). Shape chosen for 100 TB: explode the
+    token array (projected to an attribute first — a Generate over an
+    expression re-evaluates it per output row), md5 once per token,
+    then ONE groupBy(doc) with 64 codegen'd conditional SUMs —
+    map-side partial agg, a single shuffle keyed on the doc id, no
+    interpreted higher-order-function lambdas in the hot path.
+    Integer arithmetic only — engine-exact.
+    """
+    toked = docs.select(id_col, tokens(F.col(text_col)).alias("toks")).select(
+        id_col, F.explode("toks").alias("tok")
+    )
+    hashed = toked.select(id_col, F.md5("tok").alias("m")).select(
+        id_col,
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+    )
+
+    def bit_vote(j: int) -> Column:
+        h = F.col("h_lo") if j < 32 else F.col("h_hi")
+        return F.sum(
+            F.when(F.shiftright(h, j % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{j}")
+
+    votes = hashed.groupBy(id_col).agg(*[bit_vote(j) for j in range(SIMHASH_BITS)])
+
+    def band(k: int) -> Column:
+        out = F.lit(0)
+        for j in range(16):
+            out = out + F.when(F.col(f"c{16 * k + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        return out.cast("int").alias(f"s{k}")
+
+    return votes.select(id_col, *[band(k) for k in range(SIMHASH_BANDS)])
 
 
 def jaccard(set_a: Column, set_b: Column) -> Column:

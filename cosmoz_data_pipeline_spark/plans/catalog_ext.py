@@ -95,7 +95,8 @@ hs AS (
 sg AS (
     SELECT doc_id, list_transform(generate_series(0, {MINHASH_K - 1}),
         i -> list_min(list_transform(shash,
-                 h -> ((976369 + 104729 * i) * h + (67890 + 12345 * i)) % 2147483647)))
+                 h -> (({tx.MINHASH_A0} + {tx.MINHASH_A_STEP} * i) * h
+                       + ({tx.MINHASH_B0} + {tx.MINHASH_B_STEP} * i)) % {tx.MINHASH_P})))
         AS sig
     FROM hs),
 bands AS (
@@ -186,68 +187,122 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash64_oracle_ctes() -> str:
+    """DuckDB mirror of functions.text.simhash64_bands: unnest tokens,
+    64 conditional sums, 4 × 16-bit band columns. Generated (64 sum
+    expressions) but pure integer SQL — engine-exact."""
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h_{'lo' if j < 32 else 'hi'} >> {j % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(64)
+    )
+    bands = ",\n           ".join(
+        "CAST("
+        + " + ".join(f"CASE WHEN c{16 * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+        + f" AS INT) AS s{k}"
+        for k in range(4)
+    )
+    return f"""th AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+           ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tk)),
+cs AS (
+    SELECT doc_id, {sums}
+    FROM th GROUP BY doc_id),
+sg64 AS (
+    SELECT doc_id, {bands}
+    FROM cs)"""
+
+
 @register(
     "x_dedup_simhash",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}
-SELECT doc_id,
-       CAST(list_sum(list_transform(generate_series(0, 15), j ->
-           CASE WHEN list_sum(list_transform(toks, t ->
-                    CASE WHEN substr(md5(t), j + 1, 1)
-                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
-                THEN 1 << j ELSE 0 END)) AS INT) AS simhash,
-       CAST(list_sum(list_transform(generate_series(0, 15), j ->
-           CASE WHEN list_sum(list_transform(toks, t ->
-                    CASE WHEN substr(md5(t), j + 1, 1)
-                         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
-                THEN 1 << j ELSE 0 END)) AS INT) >> 8 AS bucket
-FROM tk""",
-    doc="SimHash document signatures: 16-bit sign-of-weighted-bit-sum over "
-    "token md5s, plus a top-byte bucket for banding. Pure integer "
-    "arithmetic → engine-exact.",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()}
+SELECT doc_id, s0, s1, s2, s3,
+       printf('%04x%04x%04x%04x', s3, s2, s1, s0) AS simhash_hex
+FROM sg64""",
+    doc="SimHash document signatures: 64-bit sign-of-weighted-bit-sum over "
+    "token md5 prefixes, carried as 4 x 16-bit band columns s0..s3 (the "
+    "pigeonhole blocking keys for Hamming<=3). Explode + 64 codegen "
+    "conditional sums — one doc-keyed shuffle, map-side partial agg, "
+    "pure integer arithmetic → engine-exact.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_aug(spark, sf_dir)
-    sh = tx.simhash16(tx.tokens(F.col("text"))).cast("int")
-    return docs.select("doc_id", sh.alias("simhash"), F.shiftright(sh, 8).alias("bucket"))
+    sigs = tx.simhash64_bands(_docs_aug(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        F.format_string("%04x%04x%04x%04x", "s3", "s2", "s1", "s0").alias("simhash_hex"),
+    )
 
 
 @register(
     "x_dedup_simhash_pairs",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()},
-sh AS (
-    SELECT doc_id,
-           CAST(list_sum(list_transform(generate_series(0, 15), j ->
-               CASE WHEN list_sum(list_transform(toks, t ->
-                        CASE WHEN substr(md5(t), j + 1, 1)
-                             IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
-                    THEN 1 << j ELSE 0 END)) AS INT) AS simhash
-    FROM tk)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b
-  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
-    doc="SimHash near-dup candidate pairs: equi-join on the top-byte "
-    "band (the blocking key — no all-pairs), then exact Hamming "
-    "distance <= 2 via bit_count(xor). Pure integer ops; the shuffle "
-    "carries only (doc_id, 16-bit signature).",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
+bandrows AS (
+    SELECT doc_id, 0 AS band_idx, s0 AS band_val FROM sg64
+    UNION ALL SELECT doc_id, 1, s1 FROM sg64
+    UNION ALL SELECT doc_id, 2, s2 FROM sg64
+    UNION ALL SELECT doc_id, 3, s3 FROM sg64),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
+          + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3))
+            AS BIGINT) AS hamming
+FROM cand c
+JOIN sg64 sa ON sa.doc_id = c.doc_a
+JOIN sg64 sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
+    + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3""",
+    doc="SimHash near-dup pairs with pigeonhole blocking: Hamming<=3 over "
+    "a 64-bit signature means at least one of the 4 16-bit bands is "
+    "identical, so candidates come from an EQUI-join on (band_idx, "
+    "band_val) — ~2^16 buckets per band, no all-pairs — then the exact "
+    "Hamming filter keeps true near-dups. The shuffle carries only "
+    "(doc_id, 4 x int16-range ints); signatures persist once and feed "
+    "the band fan-out plus both verify sides.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_aug(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", tx.simhash16(tx.tokens(F.col("text"))).cast("int").alias("simhash")
+    sigs = tx.simhash64_bands(_docs_aug(spark, sf_dir)).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array("s0", "s1", "s2", "s3")).alias("band_idx", "band_val"),
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    pairs = a.join(
-        b,
-        (F.shiftright("sim_a", 8) == F.shiftright("sim_b", 8))
-        & (F.col("doc_a") < F.col("doc_b")),
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).where(F.col("hamming") <= 2)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"sa{k}") for k in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"sb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"sa{k}").bitwiseXOR(F.col(f"sb{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
 
 
 @register(
