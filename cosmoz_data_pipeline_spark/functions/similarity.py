@@ -50,46 +50,96 @@ def cosine_unrolled(
     return dot_unrolled(a, b, dim) / (norm_a * norm_b)
 
 
-def srp_hyperplane_component(dim_idx: Column, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight for sign-random-
-    projection LSH: pure integer LCG arithmetic (exact in any engine),
-    centered to ±1e6."""
-    raw = (
-        F.lit(1103515245) * (dim_idx + 1).cast("bigint")
-        + F.lit(12345) * (plane_idx + 1)
-    ) % F.lit(2000001)
-    return (raw - F.lit(1000000)).cast("double")
+# --------------------------------------------------- SRP (sign random
+# projection) LSH. Hyperplane weights are md5-derived integers — an
+# earlier LCG scheme (w = (a*i + b*p) mod m) made every plane a small
+# additive shift of the same hyperplane, so all 64 "independent" planes
+# voted identically and buckets collapsed (measured: 80% of all pairs
+# became candidates). Projections run on floor(v*1e6)-quantized vectors
+# with integer weights: every partial sum stays < 2^53, so the result
+# is EXACT in int64 and float64 and independent of accumulation order —
+# parity with any oracle engine needs no ordered-fold gymnastics.
+
+SRP_MOD = 2000001
+SRP_HALF = 1000000
+SRP_QUANT = 1_000_000  # vector components → floor(v * 1e6)
 
 
-def srp_bucket_unrolled(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Codegen form of :func:`srp_bucket` for a known dimension: the
-    LCG hyperplane weights are compile-time constants, so each plane's
-    projection unrolls to a literal-weighted sum (same left-to-right
-    accumulation order as the fold → bit-identical buckets)."""
-    out = F.lit(0)
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for i in range(dim):
-            w = float((1103515245 * (i + 1) + 12345 * (p + 1)) % 2000001 - 1000000)
-            proj = proj + vec.getItem(i) * F.lit(w)
-        out = out + F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-    return out
+def srp_weight(plane: int, dim_i: int) -> int:
+    """Deterministic md5-derived hyperplane weight in [-1e6, 1e6]:
+    first 32 bits of md5('srp{plane}_{dim_i}'), centered. dim_i is
+    1-based to match SQL array indexing."""
+    import hashlib
+
+    h = int(hashlib.md5(f"srp{plane}_{dim_i}".encode()).hexdigest()[:8], 16)
+    return h % SRP_MOD - SRP_HALF
 
 
-def srp_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-random-projection LSH bucket id in [0, 2^n_planes)."""
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: F.element_at(vec, i + 1) * srp_hyperplane_component(i, p),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def srp_weights_df(spark, bands: int, planes_per_band: int, dim: int):
+    """Tiny broadcastable weight table: one row per (plane, dimension).
+    ``bitval`` is precomputed (1 << bit-within-band) so the bucket
+    assembly is a plain conditional SUM — no variable-shift expression.
+    """
+    rows = [
+        (p, p // planes_per_band, 1 << (p % planes_per_band), i, srp_weight(p, i))
+        for p in range(bands * planes_per_band)
+        for i in range(1, dim + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "plane int, band int, bitval long, i int, w long"
+    )
+
+
+def srp_band_buckets(
+    vec_df, spark, bands: int, planes_per_band: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "v",
+):
+    """(id, band, bucket) SRP assignments: posexplode the vector, join
+    the broadcast weight table on dimension, partial-agg the integer
+    projections per plane, then assemble each band's bucket as a
+    conditional bit sum. Two shuffles, both keyed on the id — the
+    relational shape that survives 100 TB (vs unrolling bands×planes×dim
+    literal terms into one projection, which breaks codegen limits)."""
+    qv = vec_df.select(id_col, F.posexplode(vec_col).alias("i0", "x")).select(
+        id_col,
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * SRP_QUANT).cast("bigint").alias("q"),
+    )
+    wdf = F.broadcast(srp_weights_df(spark, bands, planes_per_band, dim))
+    proj = (
+        qv.join(wdf, "i")
+        .groupBy(id_col, "plane", "band", "bitval")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("s"))
+    )
+    return (
+        proj.select(
+            id_col, "band",
+            F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0)).alias("bit"),
         )
-        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        .groupBy(id_col, "band")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def srp_sql_ctes(src: str, bands: int, planes_per_band: int, dim: int = 64) -> str:
+    """DuckDB mirror of :func:`srp_band_buckets` as CTE text: ``wt``
+    recomputes the identical md5 weights in SQL; integer projections
+    make the parity exact regardless of DuckDB's aggregation order.
+    ``src`` must expose (vec_id, v DOUBLE[])."""
+    total = bands * planes_per_band
+    return f"""wt AS (
+    SELECT p, i,
+           ('0x' || substr(md5('srp' || CAST(p AS VARCHAR) || '_'
+                                || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+             % {SRP_MOD} - {SRP_HALF} AS w
+    FROM generate_series(0, {total - 1}) t(p), generate_series(1, {dim}) s(i)),
+qv AS (
+    SELECT vec_id, i, CAST(floor(v[i] * {SRP_QUANT}) AS BIGINT) AS q
+    FROM {src}, generate_series(1, {dim}) s(i)),
+proj AS (
+    SELECT qv.vec_id, wt.p, sum(qv.q * wt.w) AS s
+    FROM qv JOIN wt USING (i) GROUP BY 1, 2),
+bk AS (
+    SELECT vec_id, p // {planes_per_band} AS band,
+           sum(CASE WHEN s > 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS bucket
+    FROM proj GROUP BY 1, 2)"""

@@ -307,33 +307,102 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_ngram_jaccard",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()},
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS shash
+    FROM sh),
+sg AS (
+    SELECT doc_id, list_transform(generate_series(0, {MINHASH_K - 1}),
+        i -> list_min(list_transform(shash,
+                 h -> (({tx.MINHASH_A0} + {tx.MINHASH_A_STEP} * i) * h
+                       + ({tx.MINHASH_B0} + {tx.MINHASH_B_STEP} * i)) % {tx.MINHASH_P})))
+        AS sig
+    FROM hs),
+bands AS (
+    SELECT doc_id, unnest(list_transform(generate_series(0, {LSH_BANDS - 1}),
+        b -> md5(CAST(b AS VARCHAR) || '|' ||
+                 array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], '|'))))
+        AS band_key
+    FROM sg),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
        len(list_intersect(a.shingles, b.shingles))
          / CAST(len(a.shingles) + len(b.shingles)
                 - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
 WHERE len(list_intersect(a.shingles, b.shingles))
         / CAST(len(a.shingles) + len(b.shingles)
                - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 6e-1""",
-    doc="Exact n-gram Jaccard near-dup pairs within a blocking key "
-    "(source): word-3-gram set intersection/union. The blocking join "
-    "bounds the pair explosion; MinHash-LSH is the unblocked scale path.",
+    doc="Exact n-gram Jaccard near-dup pairs, candidate-then-verify "
+    "(round-3 rebuild of the quadratic source-blocked join): candidates "
+    "come from the proven 4×3 MinHash banding (equi-join on band keys; "
+    "miss probability (1-J³)⁴ ≈ 0.5% at J=0.9), then ONLY candidates "
+    "get the exact word-3-gram set Jaccard, kept at >= 0.6. One "
+    "doc-keyed shuffle computes signature AND shingle set together; no "
+    "unblocked self-join anywhere.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", "source", tx.word_shingles(tx.tokens(F.col("text"))).alias("shingles")
+    # shingle rows via the codegen explode+lead path (see
+    # q_dedup_minhash); ONE groupBy(doc_id) produces both the MinHash
+    # signature and the exact-verify shingle set
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src"), F.col("shingles").alias("sh_a")
+    seqw = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
+    shingle = (
+        F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
+        .when(F.col("pos") == 0, F.concat_ws(" ", "tok", t1))
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src"), F.col("shingles").alias("sh_b")
+    sh = toked.select("doc_id", shingle.alias("shingle")).where(
+        F.col("shingle").isNotNull()
     )
-    pairs = a.join(b, "src").where(F.col("doc_a") < F.col("doc_b"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    per_doc = (
+        sh.select("doc_id", "shingle", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("sh_set"),
+            *[
+                F.min(
+                    (
+                        F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i) * F.col("h")
+                        + F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
+                    )
+                    % F.lit(tx.MINHASH_P)
+                ).alias(f"m{i}")
+                for i in range(MINHASH_K)
+            ],
+        )
+        .select(
+            "doc_id", "sh_set", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+        )
+        .persist()
+    )
+    bands = per_doc.select(
+        "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
+    ).select("doc_id", F.explode("bk").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     jac = tx.jaccard(F.col("sh_a"), F.col("sh_b"))
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(F.col("jaccard") >= 0.6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
 
 
 # ------------------------------------------------------------ similarity
@@ -401,69 +470,136 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_ann_lsh_buckets",
-    """
+    f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (
-    SELECT vec_id,
-           CAST(list_sum(list_transform(generate_series(0, 7), p ->
-               CASE WHEN list_aggregate(list_transform(generate_series(1, len(v)),
-                   i -> v[i] * CAST((1103515245 * i + 12345 * (p + 1)) % 2000001
-                                    - 1000000 AS DOUBLE)), 'sum') > 0
-                    THEN 1 << p ELSE 0 END)) AS INT) AS bucket
-    FROM e)
+{sim.srp_sql_ctes('e', 1, 8)}
 SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
-FROM b""",
+FROM bk""",
     doc="Sign-random-projection LSH bucketing (the ANN scale path): 8 "
-    "deterministic integer-LCG hyperplanes → 256 buckets; search only "
-    "probes matching buckets. Bucket assignment is a narrow map — no "
-    "shuffle until the per-bucket candidate join.",
+    "md5-derived integer hyperplanes → 256 buckets; search only probes "
+    "matching buckets. Projections run on floor(v*1e6)-quantized "
+    "integers so the sign is engine-exact in any summation order. "
+    "(Round-3 fix: the earlier LCG weights made all planes near-copies "
+    "of one hyperplane — buckets collapsed; md5 weights spread them.)",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    b = e.select(
-        "vec_id", sim.srp_bucket_unrolled(v, EMBED_DIM, 8).cast("int").alias("bucket")
-    )
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b = sim.srp_band_buckets(vecs, spark, 1, 8, EMBED_DIM).select("vec_id", "bucket")
     return b.select(
         "vec_id", "bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size")
     )
 
 
+# Near-dup corpus: the shipped embeddings are mutually near-orthogonal
+# (measured same-label avg cosine 0.002), so — exactly like _docs_aug —
+# near-duplicate queries run on an augmented corpus: originals + exact
+# copies (vec_id%11==0 → +100000) + deterministically perturbed copies
+# (vec_id%5==0 → +200000, component i += ((vec_id*31+i)%7-3)/100,
+# cosine ≈ 0.987 to the original). Built identically in both engines.
+_EMB_AUG_SQL = """
+emb_aug AS (
+    SELECT vec_id, v FROM e
+    UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 11 = 0
+    UNION ALL
+    SELECT vec_id + 200000,
+           list_transform(generate_series(1, 64),
+                          i -> v[i] + ((vec_id * 31 + i) % 7 - 3) * 1e-2)
+    FROM e WHERE vec_id % 5 = 0
+)"""
+
+
+def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    exact = base.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    # perturb in its own select: listing it beside the +200000 alias
+    # would let Spark's lateral-column-alias resolution bind the
+    # lambda's vec_id to the ALIASED id (200000*31 ≡ 2 mod 7 → every
+    # component shifted by +0.02)
+    near = (
+        base.where(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "v",
+                lambda x, i: x
+                + ((F.col("vec_id") * 31 + (i + 1)) % 7 - 3).cast("double") * F.lit(1e-2),
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 200000).alias("vec_id"), "v")
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+NEARDUP_BANDS, NEARDUP_PLANES = 8, 8  # 64 planes; p_capture(cos .99) ≈ 1-2e-4
+
+
 @register(
     "x_embed_cosine_neardup",
-    """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, label, v,
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_EMB_AUG_SQL.lstrip()},
+{sim.srp_sql_ctes('emb_aug', NEARDUP_BANDS, NEARDUP_PLANES)},
+n AS (SELECT vec_id, v,
              sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
                                                 i -> v[i] * v[i]), 'sum')) AS nrm
-      FROM e)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      FROM emb_aug),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
        round(list_aggregate(list_transform(generate_series(1, len(a.v)),
                                            i -> a.v[i] * b.v[i]), 'sum')
              / (a.nrm * b.nrm), 6) AS cosine
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
 WHERE round(list_aggregate(list_transform(generate_series(1, len(a.v)),
                                           i -> a.v[i] * b.v[i]), 'sum')
-            / (a.nrm * b.nrm), 6) >= 3.5e-1""",
-    doc="Embedding-cosine near-duplicate pairs within a blocking key "
-    "(label): the embedding-similarity dedup modality. Blocked self-join "
-    "keeps the pair count linear-ish; LSH buckets are the unblocked path.",
+            / (a.nrm * b.nrm), 6) >= 9e-1""",
+    doc="Embedding-cosine near-duplicate pairs, candidate-then-verify "
+    "(round-3 rebuild of the quadratic label-blocked join): 8×8-plane "
+    "SRP banding generates candidates via an equi-join on (band, "
+    "bucket) — measured 27× under all-pairs with 146/146 recall of the "
+    "injected near-dups at sf0.01 — then ONLY candidates get the exact "
+    "unrolled-codegen cosine, kept at >= 0.9. No unblocked self-join "
+    "anywhere; shuffles carry (id, band, bucket) ints.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    a = vecs.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"), F.col("nrm").alias("na")
+    vecs = _emb_aug(spark, sf_dir).select(
+        "vec_id", "v", sim.norm_unrolled(F.col("v"), EMBED_DIM).alias("nrm")
+    ).persist()
+    bands = sim.srp_band_buckets(
+        vecs, spark, NEARDUP_BANDS, NEARDUP_PLANES, EMBED_DIM
     )
-    b = vecs.select(
-        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     cos = F.round(
         sim.cosine_unrolled(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), EMBED_DIM),
         6,
     )
-    return pairs.select("vec_a", "vec_b", "label", cos.alias("cosine")).where(
-        F.col("cosine") >= 0.35
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.9)
     )
 
 

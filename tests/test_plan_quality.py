@@ -86,3 +86,24 @@ def test_minhash_signature_computed_once(spark, sf_dir):
     # banding plus both sides of the candidate join read the cache
     plan = _plan(spark, sf_dir, "x_dedup_minhash_lsh")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_neardup_queries_have_no_unblocked_self_join(spark, sf_dir):
+    # round-3 contract: every near-dup pair generator is candidate-
+    # then-verify — candidates from an EQUI-join on LSH keys, never an
+    # all-pairs/blocked quadratic join. Equi-joins show as Broadcast/
+    # SortMerge/ShuffledHash; anything nested-loop or cartesian means
+    # a non-equi pair join sneaked back in.
+    for name in ("x_dedup_ngram_jaccard", "x_embed_cosine_neardup",
+                 "x_dedup_simhash_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_neardup_verify_reads_persisted_tables(spark, sf_dir):
+    # the per-doc/per-vector table must be computed ONCE and reused by
+    # the band fan-out plus both verify sides
+    for name in ("x_dedup_ngram_jaccard", "x_embed_cosine_neardup"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("InMemoryTableScan") >= 3, name
