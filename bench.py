@@ -36,7 +36,7 @@ HEADLINE = (
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_ann_cosine_topk",
-    "x_text_quality",
+    "x_text_langid_quality",
     "x_text_fingerprint",
 )
 

@@ -12,19 +12,23 @@ from . import catalog_ext  # noqa: E402,F401
 from . import catalog_sources  # noqa: E402,F401
 from . import catalog_streaming  # noqa: E402,F401
 
-# The driver walks queries() in dict order under a budget: round 1
-# recorded exactly the FIRST 50 of 56 registered queries and silently
-# dropped the tail (j11, s04, st1/2/5/6 — see VERDICT.md). Order the
-# registry so a truncated run still covers every §2 layer: the
-# previously-dropped streaming/source queries first, then the flagship
-# level pipeline, then everything else in registration order.
+# The driver walks queries() in dict order under a 50-row budget: it
+# records exactly the first 50 registered queries and silently drops
+# any tail. Round 3 consolidated the registry to EXACTLY 50 (natural
+# merges: s03+s06, s04+s05, simhash→simhash_pairs, ivf_assign→
+# ivf_topk, multimodal decode+frames, langid+quality) so the artifact
+# captures 100% — DRIVER_QUERY_BUDGET guards the invariant; if a new
+# query pushes past it, merge or the excess names print at import so
+# the coverage loss is explicit, never silent. Order still front-loads
+# the streaming/source layer so a truncated run covers every §2 layer.
+DRIVER_QUERY_BUDGET = 50
 _FRONT = [
     "st5_stateful_validity",
     "st1_incremental_overwrite",
     "st6_stream_dedup_watermark",
     "st2_catchup_cursor",
     "j11_latest_asof_pick",
-    "s04_typed_decimal_dimension",
+    "s04_s05_station_dim_parse",
     "level1",
     "level2",
     "level3",
@@ -35,5 +39,15 @@ _ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 _ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})
 REGISTRY.clear()
 REGISTRY.update(_ordered)
+
+if len(REGISTRY) > DRIVER_QUERY_BUDGET:  # pragma: no cover
+    _dropped = list(REGISTRY)[DRIVER_QUERY_BUDGET:]
+    import sys
+
+    print(
+        f"WARNING: {len(REGISTRY)} queries registered but the driver "
+        f"records only {DRIVER_QUERY_BUDGET}; UNRECORDED tail: {_dropped}",
+        file=sys.stderr,
+    )
 
 __all__ = ["REGISTRY", "Query", "register"]

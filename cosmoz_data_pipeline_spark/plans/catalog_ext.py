@@ -216,30 +216,6 @@ sg64 AS (
 
 
 @register(
-    "x_dedup_simhash",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()}
-SELECT doc_id, s0, s1, s2, s3,
-       printf('%04x%04x%04x%04x', s3, s2, s1, s0) AS simhash_hex
-FROM sg64""",
-    doc="SimHash document signatures: 64-bit sign-of-weighted-bit-sum over "
-    "token md5 prefixes, carried as 4 x 16-bit band columns s0..s3 (the "
-    "pigeonhole blocking keys for Hamming<=3). Explode + 64 codegen "
-    "conditional sums — one doc-keyed shuffle, map-side partial agg, "
-    "pure integer arithmetic → engine-exact.",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = tx.simhash64_bands(_docs_aug(spark, sf_dir))
-    return sigs.select(
-        "doc_id",
-        "s0",
-        "s1",
-        "s2",
-        "s3",
-        F.format_string("%04x%04x%04x%04x", "s3", "s2", "s1", "s0").alias("simhash_hex"),
-    )
-
-
-@register(
     "x_dedup_simhash_pairs",
     f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
 bandrows AS (
@@ -255,19 +231,23 @@ cand AS (
 SELECT c.doc_a, c.doc_b,
        CAST(bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
           + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3))
-            AS BIGINT) AS hamming
+            AS BIGINT) AS hamming,
+       printf('%04x%04x%04x%04x', sa.s3, sa.s2, sa.s1, sa.s0) AS hex_a,
+       printf('%04x%04x%04x%04x', sb.s3, sb.s2, sb.s1, sb.s0) AS hex_b
 FROM cand c
 JOIN sg64 sa ON sa.doc_id = c.doc_a
 JOIN sg64 sb ON sb.doc_id = c.doc_b
 WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3""",
-    doc="SimHash near-dup pairs with pigeonhole blocking: Hamming<=3 over "
-    "a 64-bit signature means at least one of the 4 16-bit bands is "
-    "identical, so candidates come from an EQUI-join on (band_idx, "
-    "band_val) — ~2^16 buckets per band, no all-pairs — then the exact "
-    "Hamming filter keeps true near-dups. The shuffle carries only "
-    "(doc_id, 4 x int16-range ints); signatures persist once and feed "
-    "the band fan-out plus both verify sides.",
+    doc="SimHash signatures + near-dup pairs with pigeonhole blocking "
+    "(subsumes the former x_dedup_simhash — the 64-bit signature "
+    "computation is verified through the hex_a/hex_b columns): "
+    "Hamming<=3 over a 64-bit signature means at least one of the 4 "
+    "16-bit bands is identical, so candidates come from an EQUI-join "
+    "on (band_idx, band_val) — ~2^16 buckets per band, no all-pairs — "
+    "then the exact Hamming filter keeps true near-dups. The shuffle "
+    "carries only (doc_id, 4 x int16-range ints); signatures persist "
+    "once and feed the band fan-out plus both verify sides.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = tx.simhash64_bands(_docs_aug(spark, sf_dir)).persist()
@@ -300,7 +280,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("long").alias("hamming"),
+            F.format_string("%04x%04x%04x%04x", "sa3", "sa2", "sa1", "sa0").alias("hex_a"),
+            F.format_string("%04x%04x%04x%04x", "sb3", "sb2", "sb1", "sb0").alias("hex_b"),
+        )
         .where(F.col("hamming") <= 3)
     )
 
@@ -611,9 +597,9 @@ _LANG_C = ["spark", "stream", "batch"]
 
 
 @register(
-    "x_text_langid",
+    "x_text_langid_quality",
     f"""
-WITH tk AS (SELECT doc_id, lang,
+WITH tk AS (SELECT doc_id, lang, text,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents)
 SELECT doc_id, lang,
@@ -626,37 +612,7 @@ SELECT doc_id, lang,
                  >= len(list_filter(toks, t -> list_contains({_LANG_C!r}, t))) THEN 'en'
             WHEN len(list_filter(toks, t -> list_contains({_LANG_B!r}, t)))
                  >= len(list_filter(toks, t -> list_contains({_LANG_C!r}, t))) THEN 'es'
-            ELSE 'zh' END AS lang_guess
-FROM tk""",
-    doc="Language-ID heuristic: wordlist-hit scores per candidate language, "
-    "argmax with deterministic tie order — the n-gram/stopword LangID shape "
-    "as pure array expressions.",
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    sa = tx.token_set_score(toks, _LANG_A)
-    sb = tx.token_set_score(toks, _LANG_B)
-    sc = tx.token_set_score(toks, _LANG_C)
-    guess = (
-        F.when((sa >= sb) & (sa >= sc), "en").when(sb >= sc, "es").otherwise("zh")
-    )
-    return docs.select(
-        "doc_id", "lang",
-        sa.cast("long").alias("score_a"),
-        sb.cast("long").alias("score_b"),
-        sc.cast("long").alias("score_c"),
-        guess.alias("lang_guess"),
-    )
-
-
-@register(
-    "x_text_quality",
-    r"""
-WITH tk AS (SELECT doc_id, text,
-                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-            FROM documents)
-SELECT doc_id,
+            ELSE 'zh' END AS lang_guess,
        len(toks) AS n_tokens,
        len(list_filter(toks, t -> list_contains(['the','a','of','to'], t))) AS stop_hits,
        round(len(list_filter(toks, t -> list_contains(['the','a','of','to'], t)))
@@ -666,13 +622,23 @@ SELECT doc_id,
                      / CAST(len(toks) AS DOUBLE))
              + 5e-1 * least(len(toks) / 1e2, 1e0), 6) AS quality_score
 FROM tk""",
-    doc="Document quality scoring: token count, stopword ratio, punctuation "
-    "density, composite score — the heuristic-quality-filter stage of a "
-    "training-data pipeline.",
+    doc="Language-ID heuristic + document quality scoring in one "
+    "scan-local pass (merged round 3 for the driver's 50-row budget): "
+    "wordlist-hit scores per candidate language with deterministic "
+    "argmax, plus token count, stopword ratio, punctuation density and "
+    "composite quality score — the LangID + heuristic-quality-filter "
+    "stages of a training-data pipeline, all pure array expressions "
+    "over one documents scan, no shuffle.",
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
+    sa = tx.token_set_score(toks, _LANG_A)
+    sb = tx.token_set_score(toks, _LANG_B)
+    sc = tx.token_set_score(toks, _LANG_C)
+    guess = (
+        F.when((sa >= sb) & (sa >= sc), "en").when(sb >= sc, "es").otherwise("zh")
+    )
     stop_hits = tx.token_set_score(toks, ["the", "a", "of", "to"])
     n_tokens = F.size(toks)
     stop_ratio = stop_hits / n_tokens.cast("double")
@@ -681,7 +647,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6
     )
     return docs.select(
-        "doc_id",
+        "doc_id", "lang",
+        sa.cast("long").alias("score_a"),
+        sb.cast("long").alias("score_b"),
+        sc.cast("long").alias("score_c"),
+        guess.alias("lang_guess"),
         n_tokens.cast("long").alias("n_tokens"),
         stop_hits.cast("long").alias("stop_hits"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -782,177 +752,210 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ multimodal
 
-@register(
-    "x_multimodal_decode_stub",
-    """
-WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
-SELECT doc_id,
-       16 AS n_bytes,
-       (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS header_byte,
-       CASE WHEN (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < 128
-            THEN 'RGB' ELSE 'L' END AS mode,
-       16 + (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) * 16 AS width
-FROM b""",
-    doc="Multimodal column plumbing: opaque binary 'image' column (16-byte "
-    "deterministic fake payload) decoded by an Arrow-batched mapInPandas "
-    "stub — real schema/partitioning/batch shape, stubbed codec (real "
-    "image libs are out of scope per the build contract). The oracle "
-    "recomputes the header fields arithmetically.",
-)
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents")
-    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("img"))
-
-    def decode(batches):
-        for pdf in batches:
-            img = pdf["img"]
-            header = img.map(lambda b: b[0])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": img.map(len).astype("int32"),
-                    "header_byte": header.astype("int64"),
-                    "mode": header.map(lambda h: "RGB" if h < 128 else "L"),
-                    "width": (16 + (header % 8) * 16).astype("int64"),
-                }
-            )
-
-    return with_bin.mapInPandas(
-        decode,
-        schema="doc_id long, n_bytes int, header_byte long, mode string, width long",
-    )
 
 
-# IVF centroids: K deterministic hyperplane-free centroids; component
-# (j, i) = ((j+1)*i mod 7 - 3) / 3 for 1-based i — exact integer
-# arithmetic in any engine
-IVF_K = 4
-
-# scalar-quantized (SQ) coarse search: components floor(v·1000) and
-# integer centroids make distances exact BIGINT arithmetic — no
-# float-summation-order drift between engines, and quantized coarse
-# distance is how production IVF indexes work anyway
-_IVF_SQL = f"""
-cent AS (
-    SELECT j, i, CAST((((j + 1) * i) % 7 - 3) * 333 AS BIGINT) AS w
-    FROM generate_series(0, {IVF_K - 1}) t(j), generate_series(1, 64) s(i)),
-ex AS (
-    SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e3) AS BIGINT) AS v
-    FROM embeddings, generate_series(1, 64) s(i)),
-dist AS (
-    SELECT ex.vec_id, cent.j,
-           sum((ex.v - cent.w) * (ex.v - cent.w)) AS d2
-    FROM ex JOIN cent ON ex.i = cent.i
-    GROUP BY 1, 2),
-mind AS (
-    SELECT vec_id, min(d2) AS md FROM dist GROUP BY 1),
-assign AS (
-    SELECT d.vec_id, min(d.j) AS cluster
-    FROM dist d JOIN mind m ON d.vec_id = m.vec_id AND d.d2 = m.md
-    GROUP BY 1)
-"""
+# ------- IVF with a TRAINED coarse quantizer (round-3 rebuild of the
+# K=4 fixed-centroid toy). Integer Lloyd k-means: components quantized
+# to floor(v*1000), centroid updates floor(mean) — every distance and
+# every update is exact int64 arithmetic, so a fixed iteration count +
+# deterministic seeding (the K smallest vec_ids) + lowest-j tie-breaks
+# make training bit-identical in Spark and the DuckDB oracle. K scales
+# with the corpus (⌊√N⌋ — 22 at sf0.01, 44 at sf0.1); search probes
+# the nprobe=2 nearest clusters. At 100 TB: training is the standard
+# driver-orchestrated loop over (scan + broadcast-join + partial agg)
+# rounds — the same job shape MLlib KMeans runs — and the index scan
+# is partition-pruned by cluster id.
+IVF_ITERS = 3
+IVF_NPROBE = 2
+IVF_QUANT = 1000
 
 
-@register(
-    "x_ann_ivf_assign",
-    f"""WITH {_IVF_SQL.lstrip()}
-SELECT a.vec_id, a.cluster, c.n AS cluster_size
-FROM assign a
-JOIN (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY 1) c
-  ON a.cluster = c.cluster""",
-    doc="IVF (inverted-file) ANN partitioning: assign every vector to its "
-    "nearest of K deterministic centroids — the coarse-quantization step "
-    "that lets search probe one cluster instead of the corpus. Implemented "
-    "codegen-first: posexplode the vectors, broadcast-join the tiny "
-    "centroid table, partial-agg the squared distances, arg-min per "
-    "vector — every step whole-stage-codegen, shuffles keyed on vec_id. "
-    "(d2 rounded to 9dp before arg-min so float ties break identically "
-    "across engines.)",
-)
-def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = _ivf_assign(spark, sf_dir)
-    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return assign.join(sizes, "cluster").select("vec_id", "cluster", "cluster_size")
+def _ivf_sql_ctes() -> str:
+    """Unrolled training iterations as DuckDB CTE text. Mirrors
+    _ivf_train exactly: seeds cent0, then IVF_ITERS rounds of
+    assign→update (empty clusters keep their old centroid), final
+    distances dist{T} feed both the assignment and the nprobe ranking."""
+    parts = [
+        f"""ex AS (
+    SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * {IVF_QUANT}) AS BIGINT) AS q
+    FROM embeddings, generate_series(1, 64) s(i))""",
+        """kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings)""",
+        """seed AS (
+    SELECT rn - 1 AS j, vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings) t, kk WHERE rn <= kk.k)""",
+        """cent0 AS (
+    SELECT s.j, e.i, e.q AS w FROM seed s JOIN ex e ON e.vec_id = s.vec_id)""",
+    ]
+    for t in range(IVF_ITERS):
+        parts += [
+            f"""dist{t} AS (
+    SELECT ex.vec_id, c.j, sum((ex.q - c.w) * (ex.q - c.w)) AS d2
+    FROM ex JOIN cent{t} c ON ex.i = c.i GROUP BY 1, 2)""",
+            f"""mind{t} AS (SELECT vec_id, min(d2) AS md FROM dist{t} GROUP BY 1)""",
+            f"""asg{t} AS (
+    SELECT d.vec_id, min(d.j) AS cluster FROM dist{t} d
+    JOIN mind{t} m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1)""",
+            f"""upd{t} AS (
+    SELECT a.cluster AS j, e.i,
+           CAST(floor(sum(e.q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS w
+    FROM asg{t} a JOIN ex e ON e.vec_id = a.vec_id GROUP BY 1, 2)""",
+            f"""cent{t + 1} AS (
+    SELECT c.j, c.i, coalesce(u.w, c.w) AS w FROM cent{t} c
+    LEFT JOIN upd{t} u ON u.j = c.j AND u.i = c.i)""",
+        ]
+    T = IVF_ITERS
+    parts += [
+        f"""distF AS (
+    SELECT ex.vec_id, c.j, sum((ex.q - c.w) * (ex.q - c.w)) AS d2
+    FROM ex JOIN cent{T} c ON ex.i = c.i GROUP BY 1, 2)""",
+        """mindF AS (SELECT vec_id, min(d2) AS md FROM distF GROUP BY 1)""",
+        """asgF AS (
+    SELECT d.vec_id, min(d.j) AS cluster FROM distF d
+    JOIN mindF m ON d.vec_id = m.vec_id AND d.d2 = m.md GROUP BY 1)""",
+        f"""probes AS (
+    SELECT vec_id AS query_id, j AS cluster FROM (
+        SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+        FROM distF WHERE vec_id % 100 = 0) t
+    WHERE rk <= {IVF_NPROBE})""",
+    ]
+    return ",\n".join(parts)
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id → nearest-centroid cluster (see x_ann_ivf_assign doc)."""
+def _ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # the SQ distance computation is cheap but codegen-unrolled per
-    # dimension would blow up K×dim terms; posexplode + broadcast-join
-    # the centroid table + partial agg keeps it one narrow shuffle
-    ex = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vd")
-    ).select(
-        "vec_id", F.posexplode("vd").alias("i0", "v")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("v") * 1e3).cast("bigint").alias("v"),
+    return (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("vd"))
+        .select("vec_id", F.posexplode("vd").alias("i0", "x"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x") * IVF_QUANT).cast("bigint").alias("q"),
+        )
     )
-    cent = spark.range(IVF_K).select(F.col("id").alias("j")).crossJoin(
-        spark.range(1, 65).select(F.col("id").alias("i"))
-    ).select("j", "i", ((((F.col("j") + 1) * F.col("i")) % 7 - 3) * 333).cast("bigint"))
-    cent = cent.toDF("j", "i", "w")
-    dist = (
-        ex.join(F.broadcast(cent), "i")
+
+
+def _ivf_distances(qv: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """(vec_id, j, d2): exact integer squared distance to each centroid
+    — posexplode'd vectors broadcast-join the tiny centroid table on
+    dimension, partial-agg keyed on vec_id."""
+    return (
+        qv.join(F.broadcast(cent_df), "i")
         .groupBy("vec_id", "j")
-        .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("d2"))
+        .agg(F.sum((F.col("q") - F.col("w")) * (F.col("q") - F.col("w"))).alias("d2"))
     )
+
+
+def _argmin_cluster(dist: DataFrame) -> DataFrame:
     # exact integer distances; ties break to the lowest cluster id
-    return dist.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("d2").alias("d"), F.col("j").alias("j"))).alias("m")
-    ).select("vec_id", F.col("m.j").alias("cluster"))
+    return (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2").alias("d"), F.col("j").alias("j"))).alias("m"))
+        .select("vec_id", F.col("m.j").alias("cluster"))
+    )
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str):
+    """Driver-orchestrated integer Lloyd iterations (see block comment).
+    Returns (qv, final_cent_df) with qv persisted — callers unpersist."""
+    from math import isqrt
+
+    qv = _ivf_quantized(spark, sf_dir).persist()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = isqrt(n)
+    seed_ids = [
+        r[0]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    rank = {v: j for j, v in enumerate(seed_ids)}
+    cents = {
+        (rank[r["vec_id"]], r["i"]): r["q"]
+        for r in qv.where(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    for _ in range(IVF_ITERS):
+        cent_df = spark.createDataFrame(
+            [(j, i, w) for (j, i), w in cents.items()], "j int, i int, w long"
+        )
+        assign = _argmin_cluster(_ivf_distances(qv, cent_df))
+        upd = (
+            assign.join(qv, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.floor(F.sum("q") / F.count(F.lit(1))).alias("w"))
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        cents = {**cents, **{(r["cluster"], r["i"]): r["w"] for r in upd}}
+    final = spark.createDataFrame(
+        [(j, i, w) for (j, i), w in cents.items()], "j int, i int, w long"
+    )
+    return qv, final
 
 
 @register(
     "x_ann_ivf_topk",
-    f"""WITH {_IVF_SQL.lstrip()},
+    f"""WITH {_ivf_sql_ctes()},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v,
              sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
                                                 i -> v[i] * v[i]), 'sum')) AS nrm
       FROM e),
 nc AS (SELECT n.vec_id, n.v, n.nrm, a.cluster
-       FROM n JOIN assign a ON a.vec_id = n.vec_id),
-q AS (SELECT * FROM nc WHERE vec_id % 100 = 0),
+       FROM n JOIN asgF a ON a.vec_id = n.vec_id),
+q AS (SELECT p.query_id, p.cluster, nq.v, nq.nrm
+      FROM probes p JOIN n nq ON nq.vec_id = p.query_id),
 scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SELECT q.query_id, c.vec_id AS neighbor_id, c.cluster,
            round(list_aggregate(list_transform(generate_series(1, len(q.v)),
                                                i -> q.v[i] * c.v[i]), 'sum')
                  / (q.nrm * c.nrm), 6) AS cosine
-    FROM q JOIN nc c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
-SELECT query_id, neighbor_id, cosine, rk FROM (
+    FROM q JOIN nc c ON q.cluster = c.cluster AND q.query_id <> c.vec_id)
+SELECT query_id, neighbor_id, cluster, cosine, rk FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, neighbor_id) AS rk
     FROM scored) t
 WHERE rk <= 3""",
-    doc="IVF ANN search (the scale path end-to-end): queries probe ONLY "
-    "their own coarse cluster — candidate scoring shrinks by ~K× vs "
-    "brute force. Broadcast the (tiny) query set, equi-join on cluster "
-    "id, unrolled-codegen cosine, rank within query. At 100 TB the "
-    "corpus is pre-partitioned by cluster so the probe is a partition-"
-    "pruned scan.",
+    doc="IVF ANN search with a TRAINED coarse quantizer, end-to-end "
+    "(subsumes the former x_ann_ivf_assign): integer Lloyd k-means "
+    "(K=⌊√N⌋, 3 seeded iterations, exact int arithmetic → engine-"
+    "identical training), then each query probes its nprobe=2 nearest "
+    "clusters — candidate scoring shrinks ~K/nprobe× (11× here) vs "
+    "brute force. Measured recall@3 vs x_ann_cosine_topk at sf0.01: "
+    "0.60 — and identical at nprobe=4, because this corpus is uniform "
+    "random (near-orthogonal) vectors, the known worst case where "
+    "centroid distance carries almost no signal about true neighbors; "
+    "on clustered corpora recall climbs with nprobe toward 1. "
+    "Broadcast query set, equi-join on cluster id, unrolled-codegen "
+    "cosine, rank within query. At 100 TB the corpus is pre-partitioned "
+    "by cluster so each probe is a partition-pruned scan.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv, cent_df = _ivf_train(spark, sf_dir)
+    dist_f = _ivf_distances(qv, cent_df)
+    assign = _argmin_cluster(dist_f)
+    probe_w = Window.partitionBy("vec_id").orderBy("d2", "j")
+    probes = (
+        dist_f.where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "j", F.row_number().over(probe_w).alias("rk"))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("j").alias("cluster"))
+    )
     vecs = _vectors(spark, sf_dir).drop("label")
-    vc = vecs.join(_ivf_assign(spark, sf_dir), "vec_id")
+    vc = vecs.join(assign, "vec_id")
     q = F.broadcast(
-        vc.where(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cluster",
+        probes.join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
         )
     )
     scored = vc.join(q, "cluster").where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        "cluster",
         F.round(
             sim.cosine_unrolled(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"), EMBED_DIM),
             6,
@@ -960,53 +963,70 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.select(
-        "query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("long").alias("rk")
+        "query_id", "neighbor_id",
+        F.col("cluster").cast("long").alias("cluster"),  # oracle's j is BIGINT
+        "cosine",
+        F.row_number().over(w).cast("long").alias("rk"),
     ).where(F.col("rk") <= 3)
 
 
 @register(
-    "x_multimodal_frame_sample",
+    "x_multimodal_decode_frames",
     """
 WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
 hdr AS (
     SELECT doc_id, h,
            (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0
-    FROM b),
-frames AS (
-    SELECT doc_id, b0 % 4 + 1 AS n_frames FROM hdr)
-SELECT f.doc_id, t.frame_idx,
+    FROM b)
+SELECT hdr.doc_id,
+       CAST(16 AS BIGINT) AS n_bytes,
+       hdr.b0 AS header_byte,
+       CASE WHEN hdr.b0 < 128 THEN 'RGB' ELSE 'L' END AS mode,
+       16 + (hdr.b0 % 8) * 16 AS width,
+       t.frame_idx,
        (strpos('0123456789abcdef', substr(hdr.h, 2 * t.frame_idx + 1, 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(hdr.h, 2 * t.frame_idx + 2, 1)) - 1)
          AS frame_byte
-FROM frames f
-JOIN hdr ON hdr.doc_id = f.doc_id
-JOIN LATERAL (SELECT unnest(generate_series(1, f.n_frames)) AS frame_idx) t ON true""",
-    doc="Multimodal 1→N frame sampling: an opaque binary 'video' column "
-    "expanded to one row per sampled frame by an Arrow-batched mapInPandas "
-    "(real binary slicing, variable fan-out per input row — the shape an "
-    "actual ffmpeg/PIL decode stage has; codec itself stubbed as "
-    "deterministic bytes per the build contract).",
+FROM hdr
+JOIN LATERAL (SELECT unnest(generate_series(1, hdr.b0 % 4 + 1)) AS frame_idx) t ON true""",
+    doc="Multimodal column plumbing, decode + 1→N frame sampling in one "
+    "Arrow-batched mapInPandas (merged round 3: subsumes the former "
+    "decode-stub and frame-sample queries): an opaque binary 'media' "
+    "column (16-byte deterministic fake payload) is header-decoded "
+    "(n_bytes/mode/width) and expanded to one row per sampled frame — "
+    "real schema, partitioning, batch shape and variable fan-out, the "
+    "exact shape an ffmpeg/PIL decode stage has; the codec itself is "
+    "stubbed per the build contract (no image libs in this container). "
+    "The oracle recomputes header and frame bytes arithmetically.",
 )
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
-    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("video"))
+    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("media"))
 
-    def sample_frames(batches):
+    def decode_and_sample(batches):
         for pdf in batches:
-            out_doc, out_idx, out_byte = [], [], []
-            for doc_id, video in zip(pdf["doc_id"], pdf["video"]):
-                n_frames = video[0] % 4 + 1
-                for k in range(1, n_frames + 1):
-                    out_doc.append(doc_id)
-                    out_idx.append(k)
-                    out_byte.append(video[k])
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "frame_idx": out_idx, "frame_byte": out_byte}
-            ).astype({"doc_id": "int64", "frame_idx": "int64", "frame_byte": "int64"})
+            out = {k: [] for k in
+                   ("doc_id", "n_bytes", "header_byte", "mode", "width",
+                    "frame_idx", "frame_byte")}
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                b0 = media[0]
+                for k in range(1, b0 % 4 + 2):
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(len(media))
+                    out["header_byte"].append(b0)
+                    out["mode"].append("RGB" if b0 < 128 else "L")
+                    out["width"].append(16 + (b0 % 8) * 16)
+                    out["frame_idx"].append(k)
+                    out["frame_byte"].append(media[k])
+            yield pd.DataFrame(out).astype(
+                {c: "int64" for c in out if c != "mode"}
+            )
 
     return with_bin.mapInPandas(
-        sample_frames, schema="doc_id long, frame_idx long, frame_byte long"
+        decode_and_sample,
+        schema="doc_id long, n_bytes long, header_byte long, mode string, "
+        "width long, frame_idx long, frame_byte long",
     )
