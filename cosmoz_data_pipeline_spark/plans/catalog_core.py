@@ -500,44 +500,6 @@ def q_zero_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s07_ascii_protocol_parse",
-    """
-WITH lines AS (
-    SELECT CASE WHEN event_id % 19 = 0
-                THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || ';   null'
-                ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ';' || CAST(round(value, 2) AS VARCHAR)
-           END AS line
-    FROM events)
-SELECT string_split(line, ';')[1] AS ts_str,
-       TRY_CAST(trim(string_split(line, ';')[2]) AS DOUBLE) AS intensity,
-       trim(string_split(line, ';')[2]) = 'null' AS is_null_marker
-FROM lines""",
-    doc="S7: NMDB NEST ASCII `ts;value` line parsing — split, trim, null "
-    "markers (/root/reference/nmdb/data_getter.py:79-121,194-209). Lines are "
-    "synthesized from events, then parsed back with the engine's parser.",
-)
-def q_ascii_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.nmdb import parse_nmdb_lines
-
-    ev = load_table(spark, sf_dir, "events")
-    lines = ev.select(
-        F.when(
-            F.col("event_id") % 19 == 0,
-            F.concat(F.date_format("ts", _TSF), F.lit(";   null")),
-        )
-        .otherwise(
-            F.concat(
-                F.date_format("ts", _TSF),
-                F.lit(";"),
-                F.round(F.col("value"), 2).cast("string"),
-            )
-        )
-        .alias("line")
-    )
-    return parse_nmdb_lines(lines)
-
-
-@register(
     "t03_tolerance_diff",
     """
 WITH u AS (SELECT l_orderkey, l_linenumber, max(l_extendedprice) AS price

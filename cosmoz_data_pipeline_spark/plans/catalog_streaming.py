@@ -161,6 +161,134 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detach(out, work)
 
 
+# ------------------------------------------------- S7 end-to-end
+# NMDB fixture day + fetch range. The fixture archive covers the full
+# day (24 hourly files per station); the fetcher must read ONLY the
+# reference's [start-1h, end+2h] window — hours outside it exist on
+# disk, so a window-arithmetic bug changes the result set and fails
+# the oracle.
+_NMDB_DAY = "2024-01-05"
+_NMDB_START = (2024, 1, 5, 6)
+_NMDB_END = (2024, 1, 5, 18)
+
+_NMDB_PREAMBLE = (
+    "# NMDB NEST ASCII output\n"
+    "# DATA TYPE: RCORR_E corrected for efficiency\n"
+    "RCORR_E   start_date_time;value\n"
+)
+
+
+def _write_nmdb_fixture(spark: SparkSession, sf_dir: str, root: str) -> list[str]:
+    """Hourly NEST archive synthesized from events: one file per
+    (station=event_type, hour) holding a preamble the parser must skip
+    plus one `ts;value` line — the first event of that hour (hourly
+    resolution, tresolution=60), every 19th event a `null` marker.
+    Deterministic, so the oracle rebuilds the identical feed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(f"{_NMDB_DAY} 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+    )
+    w = W.partitionBy("event_type", F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    pick = (
+        ev.select("event_type", "ts", "value", "event_id", F.row_number().over(w).alias("rw"))
+        .where(F.col("rw") == 1)
+        .select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("hts"),
+            F.when(F.col("event_id") % 19 == 0, F.lit("   null"))
+            .otherwise(F.round("value", 2).cast("string"))
+            .alias("val_str"),
+        )
+    )
+    stations = set()
+    for r in pick.collect():
+        stations.add(r["event_type"])
+        hour_tag = r["hts"][:13].replace("-", "").replace(" ", "")
+        d = os.path.join(root, r["event_type"])
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{hour_tag}.txt"), "w") as f:
+            f.write(_NMDB_PREAMBLE + f"{r['hts']};{r['val_str']}\n")
+    return sorted(stations)
+
+
+@register(
+    "s07_nmdb_fetch_parse",
+    f"""
+WITH RECURSIVE src AS (
+    SELECT event_type AS station, date_trunc('hour', ts) AS hts, value, event_id,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rw
+    FROM events
+    WHERE ts >= TIMESTAMP '{_NMDB_DAY} 00:00:00'
+      AND ts < TIMESTAMP '2024-01-06 00:00:00'),
+feed AS (
+    SELECT station, hts AS ts, round(value, 2) AS intensity
+    FROM src
+    WHERE rw = 1 AND event_id % 19 <> 0
+      AND hts >= TIMESTAMP '2024-01-05 05:00:00'
+      AND hts <= TIMESTAMP '2024-01-05 20:00:00'),
+seq AS (
+    SELECT station, ts, intensity,
+           row_number() OVER (PARTITION BY station ORDER BY ts) AS rn
+    FROM feed),
+walk AS (
+    SELECT station, ts, intensity, rn,
+           true AS valid, intensity AS last_valid, ts AS last_valid_ts
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.station, s.ts, s.intensity, s.rn,
+           (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+             OR (s.intensity >= 8e-1 * w.last_valid
+                 AND s.intensity <= 1.2e0 * w.last_valid) AS valid,
+           CASE WHEN (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+                     OR (s.intensity >= 8e-1 * w.last_valid
+                         AND s.intensity <= 1.2e0 * w.last_valid)
+                THEN s.intensity ELSE w.last_valid END AS last_valid,
+           CASE WHEN (epoch(s.ts) - epoch(w.last_valid_ts) > 86400)
+                     OR (s.intensity >= 8e-1 * w.last_valid
+                         AND s.intensity <= 1.2e0 * w.last_valid)
+                THEN s.ts ELSE w.last_valid_ts END AS last_valid_ts
+    FROM seq s JOIN walk w ON s.station = w.station AND s.rn = w.rn + 1)
+SELECT station, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, intensity, valid,
+       round(last_valid, 6) AS last_valid
+FROM walk""",
+    doc="S7 END-TO-END (round 3 — closes the fetch half): driver-side "
+    "range fetcher honoring the reference's [start-1h, end+2h] window "
+    "(/root/reference/nmdb/data_getter.py:47-72) over a file:// hourly "
+    "NEST archive (no network in the sandbox; http bases issue the "
+    "reference's exact draw_graph.php URL), composed fetch → "
+    "distributed parse_nmdb_lines (preamble skip + null markers) → "
+    "±20%/24h sequential validity (ST5/W2) → validated intensity "
+    "series. The fixture covers a full day but the window covers "
+    "05:00-20:59, so the oracle (which filters by the same window "
+    "arithmetic) catches any fetch-window bug.",
+)
+def q_nmdb_fetch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..sources.nmdb import nmdb_ingest
+
+    scratch = _scratch("s07")
+    stations = _write_nmdb_fixture(spark, sf_dir, scratch)
+    validated = nmdb_ingest(
+        spark,
+        stations,
+        datetime(*_NMDB_START),
+        datetime(*_NMDB_END),
+        base_url="file://" + scratch,
+    )
+    out = validated.select(
+        "station",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "intensity",
+        "valid",
+        F.round("last_valid", 6).alias("last_valid"),
+    )
+    return _detach(out, scratch)
+
+
 @register(
     "st2_catchup_cursor",
     """

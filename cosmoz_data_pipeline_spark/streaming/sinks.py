@@ -61,6 +61,71 @@ class RetryingBatchSink:
                 self.sleep(self.backoff_s)
 
 
+class DuckDBUpsertSink:
+    """S9 external-store connector (round 3): idempotent foreachBatch
+    upsert into a local DuckDB table — the stand-in for the reference's
+    Influx point writer (/root/reference/pipeline/influx_cached_writer
+    .py:8-51: re-writing a (series, time) point overwrites, never
+    duplicates) and Mongo document batcher (/root/reference/pipeline/
+    csv_mongodb_converter.py:78-101), since the sandbox has no
+    Influx/Mongo but ships DuckDB.
+
+    Upsert = key-delete + insert inside one transaction, so Structured
+    Streaming's replay-after-failure delivery (and RetryingBatchSink's
+    own retry) is safe: re-running a batch converges to the same rows.
+
+    The micro-batch hand-off is Arrow ``toPandas`` on the BATCH — a
+    deliberate edge exception to the no-driver-collect rule: a
+    single-file DuckDB endpoint admits one writer, exactly like the
+    reference's single Influx endpoint; batches are bounded by the
+    trigger. The 100 TB path swaps this class for a per-partition
+    connector (foreachPartition → regional endpoints) without touching
+    the retry/idempotency contract.
+
+    ``pre_write`` is a fault-injection hook (tests simulate the
+    reference's server timeouts with it).
+    """
+
+    def __init__(
+        self,
+        db_path: str,
+        table: str,
+        key_cols: list[str],
+        pre_write: Callable[[DataFrame, int], None] | None = None,
+    ) -> None:
+        self.db_path = db_path
+        self.table = table
+        self.key_cols = key_cols
+        self.pre_write = pre_write
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import duckdb
+
+        if self.pre_write is not None:
+            self.pre_write(batch_df, batch_id)
+        pdf = batch_df.toPandas()
+        cols = ", ".join(f'"{c}"' for c in pdf.columns)
+        match = " AND ".join(
+            f'b."{k}" = "{self.table}"."{k}"' for k in self.key_cols
+        )
+        con = duckdb.connect(self.db_path)
+        try:
+            con.register("batch_rows", pdf)
+            con.execute("BEGIN TRANSACTION")
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{self.table}" AS '
+                f"SELECT {cols} FROM batch_rows LIMIT 0"
+            )
+            con.execute(
+                f'DELETE FROM "{self.table}" WHERE EXISTS '
+                f"(SELECT 1 FROM batch_rows b WHERE {match})"
+            )
+            con.execute(f'INSERT INTO "{self.table}" SELECT {cols} FROM batch_rows')
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+
 def write_report(df: DataFrame, path: str, fmt: str = "json") -> None:
     """S10: report sink — the duplicate-candidate report as a
     distributed single-directory write (json or csv) instead of a
