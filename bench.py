@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cosmoz_data_pipeline_spark.plans import REGISTRY  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 
+# Round 3 broadened the set (VERDICT r2 task 7): every level, the
+# stateful-streaming op, and the round-3 rebuilt candidate-verify /
+# trained-IVF queries, so regressions in those paths show per round.
 HEADLINE = (
     "s01_scan_pushdown",
     "a01_pricing_summary",
@@ -31,11 +34,18 @@ HEADLINE = (
     "w03_centered_time_avg",
     "j05_asof_backward_join",
     "j07_windowed_dedup",
+    "level1",
     "level2",
+    "level3",
     "level4",
+    "st5_stateful_validity",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    "x_dedup_simhash_pairs",
+    "x_dedup_ngram_jaccard",
+    "x_embed_cosine_neardup",
     "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
     "x_text_langid_quality",
     "x_text_fingerprint",
 )

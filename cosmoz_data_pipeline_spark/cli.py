@@ -53,11 +53,14 @@ def process_levels(
     since: str,
     site_no: int | None = None,
     spec_mode: bool = False,
+    suffix: str = "",
 ) -> dict[str, str]:
     """Recompute every level for rows with ``time >= since`` and
     dynamic-partition-overwrite the touched ``site_no`` partitions —
     the idempotent equivalent of the reference's per-site
     DROP SERIES + rewrite (:56-58), for all sites in ONE job.
+    ``suffix`` writes shadow tables (``level2_temp`` …) for the golden
+    A/B workflow (the reference's do_tests mode).
     """
     d = load_domain(spark, input_dir)
     raw = d["raw_values"]
@@ -68,10 +71,68 @@ def process_levels(
     )
     sinks: dict[str, str] = {}
     for name in LEVELS:
-        sink = os.path.join(output_dir, name)
+        sink = os.path.join(output_dir, name + suffix)
         incremental_overwrite(out[name], sink, since=since)
         sinks[name] = sink
     return sinks
+
+
+#: per-level (abs, rel) A/B thresholds, EXACTLY the reference's do_tests
+#: numbers (/root/reference/pipeline/cosmoz_process_levels.py — the
+#: reference tests percent, diff/orig*100 < T, so rel = T/100):
+#: level1 exact (:456-480), level2 rel 8.88888912e-07 % (:510),
+#: level3 abs 1e-5 ∨ rel 3.3e-4 % (:556),
+#: level4 abs 3.29e-5 ∨ rel 4.8e-6 % (:604).
+AB_THRESHOLDS: dict[str, tuple[float, float]] = {
+    "level1": (0.0, 0.0),
+    "level2": (0.0, 8.88888912e-09),
+    "level3": (1e-5, 3.3e-6),
+    "level4": (3.29e-5, 4.8e-8),
+}
+
+_AB_KEYS = ["time", "site_no"]
+
+
+def golden_ab_report(
+    spark: SparkSession, output_dir: str, names: tuple[str, ...] = LEVELS
+) -> dict[str, dict]:
+    """The reference's between-stage do_tests flow, distributed: diff
+    each golden ``<level>`` table against its ``<level>_temp`` shadow
+    with that level's exact thresholds (a keyed full-outer join +
+    tolerance predicate — no driver-side row zip, and unlike the
+    reference's zip it surfaces missing/extra keys instead of silently
+    truncating). Returns {level: {rows, mismatches, ok}}."""
+    from .operators.tolerance import tolerance_diff
+
+    report: dict[str, dict] = {}
+    for name in names:
+        gold = read_level(spark, output_dir, name)
+        temp = spark.read.parquet(os.path.join(output_dir, name + "_temp"))
+        val_cols = [
+            c
+            for c, t in gold.dtypes
+            if c not in _AB_KEYS
+            and t in ("double", "float", "int", "bigint", "smallint")
+        ]
+        right = temp.select(
+            *_AB_KEYS, *[F.col(c).alias(f"{c}_b") for c in val_cols]
+        )
+        abs_t, rel_t = AB_THRESHOLDS[name]
+        diff = tolerance_diff(
+            gold.select(*_AB_KEYS, *val_cols),
+            right,
+            _AB_KEYS,
+            [(c, f"{c}_b") for c in val_cols],
+            abs_tol=abs_t,
+            rel_tol=rel_t,
+        )
+        n_bad = diff.count()
+        report[name] = {
+            "rows": gold.count(),
+            "mismatches": n_bad,
+            "ok": n_bad == 0,
+        }
+    return report
 
 
 def read_level(spark: SparkSession, output_dir: str, name: str) -> DataFrame:
@@ -87,6 +148,13 @@ def main(argv: list[str] | None = None) -> None:
     pl.add_argument("-t", "--timestamp", default=None, help="process since (UTC)")
     pl.add_argument("--site", type=int, default=None)
     pl.add_argument("--spec-mode", action="store_true")
+    pl.add_argument(
+        "--temp",
+        action="store_true",
+        help="write <level>_temp shadow tables and A/B them against the "
+        "golden tables with the reference's per-level thresholds "
+        "(do_tests mode); exits 1 on any out-of-tolerance level",
+    )
     pl.add_argument("--input", required=True)
     pl.add_argument("--output", required=True)
 
@@ -102,7 +170,20 @@ def main(argv: list[str] | None = None) -> None:
             process_levels(
                 spark, args.input, args.output, since,
                 site_no=args.site, spec_mode=args.spec_mode,
+                suffix="_temp" if args.temp else "",
             )
+            if args.temp:
+                report = golden_ab_report(spark, args.output)
+                failed = False
+                for name, r in report.items():
+                    status = "PASS" if r["ok"] else "FAIL"
+                    failed = failed or not r["ok"]
+                    print(
+                        f"AB {name}: rows={r['rows']} "
+                        f"mismatches={r['mismatches']} {status}"
+                    )
+                if failed:
+                    raise SystemExit(1)
         else:
             process_levels(spark, args.input, args.output, since="1970-01-01 00:00:00")
     finally:

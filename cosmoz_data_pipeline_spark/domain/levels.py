@@ -122,7 +122,12 @@ def level1_to_level2(
 
     hourly = int_slim.groupBy(
         "site_no", F.date_trunc("hour", "time").alias("hr")
-    ).agg(F.min_by("intensity", "time").alias("intensity_hour"))
+    ).agg(
+        F.min_by("intensity", "time").alias("intensity_hour"),
+        # "an hour row existed" marker: non-null after the left join iff
+        # the hour matched, even when that row's intensity is NULL
+        F.count(F.lit(1)).alias("n_hour_rows"),
+    )
 
     silo_pick = (
         silo_data.where(F.hour("time") < 12)
@@ -152,7 +157,15 @@ def level1_to_level2(
     silo_t = F.when(silo_cond, F.col("silo_temperature"))
     silo_h = F.when(silo_cond, F.col("silo_humidity"))
 
-    use_intensity = F.coalesce("intensity_hour", "intensity_bw", "intensity_fw")
+    # The reference STOPS at an hour match (intensities[0],
+    # cosmoz_process_levels.py:251-257): a matched hour whose row
+    # carries NULL intensity must yield corr = 1.0, NOT fall through to
+    # the as-of fallbacks — gate on "hour row existed", not on the
+    # value (ADVICE r1/r2 latent-divergence fix; unreachable in the
+    # test corpus, mirrored in oracles.py l2_masked).
+    use_intensity = F.when(
+        F.col("n_hour_rows").isNotNull(), F.col("intensity_hour")
+    ).otherwise(F.coalesce("intensity_bw", "intensity_fw"))
     wv = physics.wv_corr(
         F.col("external_temperature"), F.col("external_humidity"), silo_t, silo_h
     )

@@ -63,7 +63,9 @@ LEVEL2_CTES: tuple[tuple[str, str], ...] = LEVEL1_CTES + (
     (
         "l2_hourly",
         """
-SELECT site_no, date_trunc('hour', "time") AS hr, arg_min(intensity, "time") AS intensity_hour
+SELECT site_no, date_trunc('hour', "time") AS hr,
+       arg_min(intensity, "time") AS intensity_hour,
+       COUNT(*) AS n_hour_rows
 FROM intensity GROUP BY 1, 2
 """,
     ),
@@ -81,7 +83,7 @@ FROM silo_data WHERE extract(hour FROM "time") < 12 GROUP BY 1, 2
         """
 SELECT b.*, ib.intensity AS intensity_bw, if2.intensity AS intensity_fw
 FROM (
-    SELECT l.*, h.intensity_hour, s.silo_t_raw, s.silo_h_raw
+    SELECT l.*, h.intensity_hour, h.n_hour_rows, s.silo_t_raw, s.silo_h_raw
     FROM level1 l
     LEFT JOIN l2_hourly h
       ON l.site_no = h.site_no AND date_trunc('hour', l."time") = h.hr
@@ -100,7 +102,8 @@ SELECT j.*, st.beta, st.ref_pressure, st.ref_intensity, st.latit_scaling, st.ele
             THEN j.silo_t_raw END AS silo_t,
        CASE WHEN j.external_temperature = 0e0 OR j.external_humidity = 0e0
             THEN j.silo_h_raw END AS silo_h,
-       coalesce(j.intensity_hour, j.intensity_bw, j.intensity_fw) AS use_int
+       CASE WHEN j.n_hour_rows IS NOT NULL THEN j.intensity_hour
+            ELSE coalesce(j.intensity_bw, j.intensity_fw) END AS use_int
 FROM l2_joined j JOIN all_stations st ON j.site_no = st.site_no
 """,
     ),

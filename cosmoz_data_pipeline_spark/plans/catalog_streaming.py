@@ -26,9 +26,14 @@ from .registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
-# One shared scratch root, wiped per query run (round 1 left a fresh
-# mkdtemp per run behind — slow for the driver and dirty for /tmp).
-_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "cosmoz_scratch")
+# One scratch root PER PROCESS (uid+pid suffixed — ADVICE r2: a fixed
+# shared path let two concurrent driver/bench processes rmtree each
+# other's in-flight scratch, and a predictable world-writable /tmp name
+# is a symlink surface). Each query run wipes only its own name under
+# its own root; _detach removes the dir once the result is pinned.
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"cosmoz_scratch_{os.getuid()}_{os.getpid()}"
+)
 
 
 def _scratch(name: str) -> str:
@@ -98,12 +103,15 @@ def q_stateful_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st1_incremental_overwrite",
     f"""{domain_prelude()}
 SELECT strftime("time", '%Y-%m-%d %H:%M:%S') AS time, site_no, count, battery
-FROM raw_values WHERE "time" >= TIMESTAMP '2021-01-01 12:00:00'""",
+FROM raw_values""",
     doc="ST1/S12: incremental window recompute + dynamic partition overwrite "
     "— write only the touched site_no partitions of a parquet table, read "
     "back the sink (the reference's DROP SERIES + rewrite, "
     "/root/reference/pipeline/cosmoz_process_levels.py:56-58; cron window "
-    "process_levels.sh:19-20).",
+    "process_levels.sh:19-20). The read-back covers the WHOLE table and "
+    "the oracle expects every pre-window row to survive the second "
+    "(2021-01-10+) overwrite — a silent regression to static overwrite "
+    "mode would wipe the Jan 1-9 partitions and hash-mismatch (ADVICE r2).",
 )
 def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..domain.synth import load_domain
@@ -113,13 +121,12 @@ def q_incremental_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _scratch("st1")
     sink = os.path.join(scratch, "sink")
-    # first a full write, then the incremental overwrite of the window —
-    # proving idempotent re-runs only touch the window's partitions
+    # full backfill, then an incremental overwrite of a LATER window:
+    # only the (site, day>=Jan 10) partitions may be rewritten; the
+    # full-table read-back proves the earlier partitions survived
     incremental_overwrite(raw, sink, since="2021-01-01 00:00:00")
-    incremental_overwrite(raw, sink, since="2021-01-01 12:00:00")
-    back = spark.read.parquet(sink).where(
-        F.col("time") >= F.lit("2021-01-01 12:00:00").cast("timestamp_ntz")
-    )
+    incremental_overwrite(raw, sink, since="2021-01-10 12:00:00")
+    back = spark.read.parquet(sink)
     out = back.select(
         F.date_format("time", _TS_FMT).alias("time"),
         F.col("site_no").cast("int").alias("site_no"),

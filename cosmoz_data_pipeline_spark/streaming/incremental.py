@@ -85,11 +85,13 @@ def stream_dedup_to_sink(
     the property the reference's 29-min SortedList lookback
     (cosmoz_process_levels.py:348-351) only had per-site in-process.
 
-    The sink is replay-idempotent: each micro-batch dynamic-overwrites
-    its own ``batch_id=N`` partition of the parquet sink, so a batch
-    re-run after a crash rewrites the same path instead of appending
-    duplicates (foreachBatch offers at-least-once delivery; the
-    wrapped write must supply the idempotence).
+    The sink is replay-idempotent: each micro-batch plain-overwrites
+    its own ``batch_id=N`` subdirectory of the parquet sink, so a
+    batch re-run after a crash rewrites the same path instead of
+    appending duplicates (foreachBatch offers at-least-once delivery;
+    the wrapped write must supply the idempotence). Readers of
+    ``sink_dir`` see an extra discovered ``batch_id`` partition column
+    in the schema — project it away if unwanted.
 
     Dedup guarantee: ``dropDuplicatesWithinWatermark`` only dedups
     keys whose occurrences fall within one watermark span of state.

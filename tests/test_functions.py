@@ -78,3 +78,43 @@ def test_banded_range_join(spark):
     # 20 sees 0 (20min back); 58 does NOT see 20 (38min back > 29); 59 has
     # different cnt; cross-site never pairs
     assert got == {(20, 0)}
+
+def test_hour_match_with_null_intensity_stops_at_hour(spark):
+    """The reference takes intensities[0] from a matched hour even when
+    that value is missing -> intensity_corr 1.0; it must NOT fall
+    through to the as-of fallbacks (ADVICE r1/r2 latent divergence)."""
+    from pyspark.sql import functions as F
+
+    from cosmoz_data_pipeline_spark.domain.levels import LEVEL1_FIELDS, level1_to_level2
+
+    ts = "2021-01-01 06:10:00"
+    l1 = spark.createDataFrame(
+        [
+            tuple(
+                [ts, 1, 0]
+                + [
+                    1000.0 if f == "count" else 10.0
+                    for f in LEVEL1_FIELDS
+                ]
+            )
+        ],
+        "time string, site_no int, flag int, "
+        + ", ".join(f"{f} double" for f in LEVEL1_FIELDS),
+    ).withColumn("time", F.col("time").cast("timestamp_ntz"))
+    # one intensity row IN the reading's hour with NULL value, plus a
+    # non-null earlier row the backward as-of would otherwise pick up
+    intensity = spark.createDataFrame(
+        [("2021-01-01 06:00:00", 1, None), ("2021-01-01 04:00:00", 1, 123.0)],
+        "time string, site_no int, intensity double",
+    ).withColumn("time", F.col("time").cast("timestamp_ntz"))
+    silo = spark.createDataFrame(
+        [], "time timestamp_ntz, site_no int, average_temperature double, average_humidity double"
+    )
+    stations = spark.createDataFrame(
+        [(1, 0.0075, 1000.0, 100.0, 1.0, 1.0)],
+        "site_no int, beta double, ref_pressure double, ref_intensity double, "
+        "latit_scaling double, elev_scaling double",
+    )
+    row = level1_to_level2(l1, intensity, silo, stations).collect()[0]
+    # hour row existed with NULL value -> corr 1.0, NOT 123/100
+    assert row.intensity_corr == 1.0

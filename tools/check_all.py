@@ -36,6 +36,7 @@ def main() -> int:
         except Exception:
             status, msg = False, traceback.format_exc(limit=8)
         failures += not status
+        spark.catalog.clearCache()  # per-query persists must not accumulate
         print(f"{'PASS' if status else 'FAIL'} {name:32s} {time.time()-t0:6.1f}s {msg}")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
