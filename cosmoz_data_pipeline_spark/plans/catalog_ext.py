@@ -557,9 +557,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _emb_aug(spark, sf_dir).select(
         "vec_id", "v", sim.norm_unrolled(F.col("v"), EMBED_DIM).alias("nrm")
     ).persist()
+    # persist: both sides of the candidate self-join read the band
+    # table — uncached, the dim-exploded projection agg runs twice
     bands = sim.srp_band_buckets(
         vecs, spark, NEARDUP_BANDS, NEARDUP_PLANES, EMBED_DIM
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -931,7 +933,9 @@ WHERE rk <= 3""",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, cent_df = _ivf_train(spark, sf_dir)
-    dist_f = _ivf_distances(qv, cent_df)
+    # persist: final distances feed BOTH the corpus assignment and the
+    # per-query probe ranking
+    dist_f = _ivf_distances(qv, cent_df).persist()
     assign = _argmin_cluster(dist_f)
     probe_w = Window.partitionBy("vec_id").orderBy("d2", "j")
     probes = (
