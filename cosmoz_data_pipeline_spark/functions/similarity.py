@@ -63,6 +63,31 @@ def cosine_unrolled(
 SRP_MOD = 2000001
 SRP_HALF = 1000000
 SRP_QUANT = 1_000_000  # vector components → floor(v * 1e6)
+SRP_MAX_PLANES = 30  # bucket ids must stay well inside int64
+
+
+def srp_planes_for(n: int, target_bucket: int = 8) -> int:
+    """Planes per band scaled to the corpus: the smallest r with
+    2^r >= ceil(n / target_bucket) (expected bucket occupancy stays
+    ~target_bucket however large n grows — a FIXED plane count makes
+    buckets, and the within-bucket candidate join, grow linearly with
+    the corpus), clamped to [8, 30]. Pure integer arithmetic
+    (bit_length ≡ LENGTH(bin(x)) in DuckDB) so both engines derive the
+    identical r from the same count."""
+    m = (n + target_bucket - 1) // target_bucket
+    r = (m - 1).bit_length() if m > 1 else 0
+    return min(SRP_MAX_PLANES, max(8, r))
+
+
+def srp_sql_cfg(src: str, target_bucket: int = 8) -> str:
+    """``cfg`` CTE: the DuckDB mirror of :func:`srp_planes_for` over
+    ``src``'s row count."""
+    t1 = target_bucket - 1
+    return f"""cfg AS (
+    SELECT LEAST({SRP_MAX_PLANES}, GREATEST(8,
+        CASE WHEN (COUNT(*) + {t1}) // {target_bucket} <= 1 THEN 0
+             ELSE LENGTH(bin((COUNT(*) + {t1}) // {target_bucket} - 1)) END)) AS r
+    FROM {src})"""
 
 
 def srp_weight(plane: int, dim_i: int) -> int:
@@ -143,3 +168,29 @@ bk AS (
     SELECT vec_id, p // {planes_per_band} AS band,
            sum(CASE WHEN s > 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS bucket
     FROM proj GROUP BY 1, 2)"""
+
+
+def srp_sql_ctes_dynamic(src: str, bands: int, dim: int = 64) -> str:
+    """Like :func:`srp_sql_ctes` but planes-per-band comes from the
+    ``cfg`` CTE (:func:`srp_sql_cfg` must precede) so banding scales
+    with the corpus. generate_series needs constant bounds in DuckDB,
+    so the plane series is generated at the clamp maximum and filtered
+    by cfg.r."""
+    maxp = bands * SRP_MAX_PLANES
+    return f"""wt AS (
+    SELECT p, i,
+           ('0x' || substr(md5('srp' || CAST(p AS VARCHAR) || '_'
+                                || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+             % {SRP_MOD} - {SRP_HALF} AS w
+    FROM generate_series(0, {maxp - 1}) t(p), generate_series(1, {dim}) s(i), cfg
+    WHERE p < {bands} * cfg.r),
+qv AS (
+    SELECT vec_id, i, CAST(floor(v[i] * {SRP_QUANT}) AS BIGINT) AS q
+    FROM {src}, generate_series(1, {dim}) s(i)),
+proj AS (
+    SELECT qv.vec_id, wt.p, sum(qv.q * wt.w) AS s
+    FROM qv JOIN wt USING (i) GROUP BY 1, 2),
+bk AS (
+    SELECT vec_id, p // cfg.r AS band,
+           sum(CASE WHEN s > 0 THEN 1 << (p % cfg.r) ELSE 0 END) AS bucket
+    FROM proj, cfg GROUP BY 1, 2)"""

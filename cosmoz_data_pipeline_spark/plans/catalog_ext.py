@@ -520,7 +520,12 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(exact).unionByName(near)
 
 
-NEARDUP_BANDS, NEARDUP_PLANES = 8, 8  # 64 planes; p_capture(cos .99) ≈ 1-2e-4
+# 8 bands; planes per band scale with the corpus (srp_planes_for:
+# expected bucket occupancy ~8 at any N — at the test SFs this
+# resolves to the 8-plane/256-bucket layout, at 100 TB to ~40-bucket-
+# occupancy 2^r buckets). Capture of cos≈0.99 near-dups stays ≥0.99
+# for r ≤ 16 with 8 bands.
+NEARDUP_BANDS = 8
 
 
 @register(
@@ -528,7 +533,8 @@ NEARDUP_BANDS, NEARDUP_PLANES = 8, 8  # 64 planes; p_capture(cos .99) ≈ 1-2e-4
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_EMB_AUG_SQL.lstrip()},
-{sim.srp_sql_ctes('emb_aug', NEARDUP_BANDS, NEARDUP_PLANES)},
+{sim.srp_sql_cfg('emb_aug')},
+{sim.srp_sql_ctes_dynamic('emb_aug', NEARDUP_BANDS)},
 n AS (SELECT vec_id, v,
              sqrt(list_aggregate(list_transform(generate_series(1, len(v)),
                                                 i -> v[i] * v[i]), 'sum')) AS nrm
@@ -546,10 +552,13 @@ WHERE round(list_aggregate(list_transform(generate_series(1, len(a.v)),
                                           i -> a.v[i] * b.v[i]), 'sum')
             / (a.nrm * b.nrm), 6) >= 9e-1""",
     doc="Embedding-cosine near-duplicate pairs, candidate-then-verify "
-    "(round-3 rebuild of the quadratic label-blocked join): 8×8-plane "
-    "SRP banding generates candidates via an equi-join on (band, "
-    "bucket) — measured 27× under all-pairs with 146/146 recall of the "
-    "injected near-dups at sf0.01 — then ONLY candidates get the exact "
+    "(round-3 rebuild of the quadratic label-blocked join): 8-band SRP "
+    "banding with CORPUS-SCALED planes per band (srp_planes_for: "
+    "2^r buckets sized so expected occupancy stays ~8 at any N — a "
+    "fixed plane count would make buckets grow linearly with the "
+    "corpus) generates candidates via an equi-join on (band, bucket) — "
+    "measured 27× under all-pairs with 146/146 recall of the injected "
+    "near-dups at sf0.01 — then ONLY candidates get the exact "
     "unrolled-codegen cosine, kept at >= 0.9. No unblocked self-join "
     "anywhere; shuffles carry (id, band, bucket) ints.",
 )
@@ -557,10 +566,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _emb_aug(spark, sf_dir).select(
         "vec_id", "v", sim.norm_unrolled(F.col("v"), EMBED_DIM).alias("nrm")
     ).persist()
+    # the count both materializes the cache and sizes the banding
+    planes = sim.srp_planes_for(vecs.count())
     # persist: both sides of the candidate self-join read the band
     # table — uncached, the dim-exploded projection agg runs twice
     bands = sim.srp_band_buckets(
-        vecs, spark, NEARDUP_BANDS, NEARDUP_PLANES, EMBED_DIM
+        vecs, spark, NEARDUP_BANDS, planes, EMBED_DIM
     ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
