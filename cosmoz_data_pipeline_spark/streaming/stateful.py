@@ -79,3 +79,74 @@ def validate_sequential(
         return pdf
 
     return df.groupBy(key).applyInPandas(check, schema=out_schema)
+
+
+def validate_sequential_stream(
+    stream_df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    lower: float = 0.8,
+    upper: float = 1.2,
+    max_gap_seconds: int = MAX_GAP_SECONDS,
+) -> DataFrame:
+    """The STREAMING form of :func:`validate_sequential`:
+    ``applyInPandasWithState`` carries (last_valid, last_valid_time)
+    per key across micro-batches, so the run-dependent recursion
+    continues seamlessly over an unbounded ingest — the reference's
+    long-lived per-site process state (nmdb/entrypoint.py:122-134),
+    re-expressed as fault-tolerant checkpointed stream state.
+
+    Within a micro-batch rows are ordered by ``time_col``; across
+    batches correctness requires per-key time-ordered arrival (true
+    for the hourly NEST feed and for file sources processed oldest-
+    first). State is two doubles per key — O(keys) executor memory
+    regardless of stream length.
+    """
+    from typing import Any, Iterator
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(stream_df.schema.fields)
+        + [StructField("valid", BooleanType()), StructField("last_valid", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("last_valid", DoubleType()), StructField("last_time", DoubleType())]
+    )
+
+    def check(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_val, last_time = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort").reset_index(drop=True)
+            times = (pdf[time_col] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+            values = pdf[value_col].astype("float64")
+            valid, last_vals = [], []
+            for t, v in zip(times, values):
+                if last_val is None:
+                    ok = True
+                elif t - last_time > max_gap_seconds:
+                    ok = True
+                else:
+                    ok = lower * last_val <= v <= upper * last_val
+                valid.append(ok)
+                last_vals.append(v if ok else last_val)
+                if ok:
+                    last_val, last_time = float(v), float(t)
+            pdf["valid"] = valid
+            pdf["last_valid"] = last_vals
+            yield pdf
+        if last_val is not None:
+            state.update((last_val, last_time))
+
+    return stream_df.groupBy(key).applyInPandasWithState(
+        check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

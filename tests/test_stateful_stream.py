@@ -1,0 +1,90 @@
+"""Streaming stateful validity (ST5's applyInPandasWithState form):
+per-key state must carry across micro-batch boundaries and reproduce
+the batch operator exactly."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from cosmoz_data_pipeline_spark.sources.tables import load_table
+from cosmoz_data_pipeline_spark.streaming.stateful import (
+    validate_sequential,
+    validate_sequential_stream,
+)
+
+
+def test_stream_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .where(F.col("user_id") <= 20)
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    # sentinel key 999: its post-cut row (500 vs last_valid 100, gap
+    # < 24 h) is INVALID only if the pre-cut state survived the
+    # micro-batch boundary — a state reset would re-validate it and
+    # diverge from the batch operator
+    import datetime as dt
+
+    sentinel = spark.createDataFrame(
+        [
+            (999, cut - dt.timedelta(hours=1), 100.0),
+            (999, cut + dt.timedelta(hours=1), 500.0),
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    ev = ev.unionByName(sentinel)
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    # two files split at the median ts; mtimes force oldest-first order
+    ev.where(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(os.path.join(src, "a"))
+    ev.where(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(os.path.join(src, "b"))
+    now = time.time()
+    for sub, mt in (("a", now - 100), ("b", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
+
+    schema = spark.read.parquet(os.path.join(src, "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    validated = validate_sequential_stream(
+        stream, key="user_id", time_col="ts", value_col="value"
+    )
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    q = (
+        validated.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.ts): (r.valid, round(r.last_valid, 9))
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.user_id, r.ts): (r.valid, round(r.last_valid, 9))
+        for r in validate_sequential(
+            ev, key="user_id", time_col="ts", value_col="value"
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    # identical per-row decisions => the state genuinely crossed the
+    # micro-batch boundary (a state reset would re-validate the first
+    # post-boundary row of every key unconditionally)
+    assert got == want
+    # and the sentinel's post-boundary row really is the divergent case
+    post = (999, cut + dt.timedelta(hours=1))
+    assert want[post] == (False, 100.0)
+    assert got[post] == (False, 100.0)
