@@ -118,3 +118,21 @@ def test_hour_match_with_null_intensity_stops_at_hour(spark):
     row = level1_to_level2(l1, intensity, silo, stations).collect()[0]
     # hour row existed with NULL value -> corr 1.0, NOT 123/100
     assert row.intensity_corr == 1.0
+
+
+def test_srp_planes_scale_with_corpus():
+    """Adaptive SRP banding: 2^r buckets track ceil(n/8) so expected
+    bucket occupancy stays ~8 at any corpus size, clamped to [8, 30]."""
+    from cosmoz_data_pipeline_spark.functions.similarity import srp_planes_for
+
+    assert srp_planes_for(1) == 8
+    assert srp_planes_for(646) == 8       # test-SF corpus: legacy layout
+    assert srp_planes_for(2048) == 8      # 2048/8 = 256 = 2^8 exactly
+    assert srp_planes_for(2049) == 9
+    assert srp_planes_for(2582) == 9
+    assert srp_planes_for(1_000_000) == 17
+    assert srp_planes_for(10**12) == 30   # clamp
+    # 2^r always covers ceil(n/8)
+    for n in (7, 8, 9, 100, 4096, 4097, 123456):
+        r = srp_planes_for(n)
+        assert 2 ** r >= -(-n // 8) or r == 30
