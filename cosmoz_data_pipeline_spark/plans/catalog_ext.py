@@ -782,11 +782,13 @@ IVF_ITERS = 3
 IVF_NPROBE = 2
 IVF_QUANT = 1000
 # k-means trains on a bounded deterministic sample (vec_id % m == 0,
-# m = ceil(N / MAX)) — standard IVF practice at scale: training cost is
-# O(sample·K·iters) however big the corpus, and only the single
-# final-assignment pass touches every vector. At the test SFs m = 1,
-# so the sample is the whole corpus and the oracle CTEs are unchanged.
-IVF_TRAIN_SAMPLE_MAX = 4096
+# m = ceil(N / (256·K))) — standard IVF practice (e.g. faiss trains on
+# ~256 points per centroid): training cost is O(256·K²·dim·iters)
+# however big the corpus, every centroid still sees ~256 points as K
+# grows with √N, and only the single final-assignment pass touches
+# every vector. At the test SFs 256·K ≥ N, so m = 1 and the sample is
+# the whole corpus.
+IVF_TRAIN_PER_CENTROID = 256
 
 
 def _ivf_sql_ctes() -> str:
@@ -799,8 +801,9 @@ def _ivf_sql_ctes() -> str:
     SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * {IVF_QUANT}) AS BIGINT) AS q
     FROM embeddings, generate_series(1, 64) s(i))""",
         """kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings)""",
-        f"""mm AS (SELECT (COUNT(*) + {IVF_TRAIN_SAMPLE_MAX - 1}) // {IVF_TRAIN_SAMPLE_MAX} AS m
-    FROM embeddings)""",
+        f"""mm AS (SELECT (COUNT(*) + {IVF_TRAIN_PER_CENTROID} * kk.k - 1)
+        // ({IVF_TRAIN_PER_CENTROID} * kk.k) AS m
+    FROM embeddings, kk GROUP BY kk.k)""",
         """exs AS (SELECT ex.* FROM ex, mm WHERE ex.vec_id % mm.m = 0)""",
         """seed AS (
     SELECT rn - 1 AS j, vec_id FROM (
@@ -885,7 +888,8 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     qv = _ivf_quantized(spark, sf_dir).persist()
     n = load_table(spark, sf_dir, "embeddings").count()
     k = isqrt(n)
-    m = (n + IVF_TRAIN_SAMPLE_MAX - 1) // IVF_TRAIN_SAMPLE_MAX
+    target = IVF_TRAIN_PER_CENTROID * k
+    m = (n + target - 1) // target
     qv_train = qv.where(F.col("vec_id") % m == 0) if m > 1 else qv
     seed_ids = [
         r[0]
@@ -951,12 +955,12 @@ WHERE rk <= 3""",
     "centroid distance carries almost no signal about true neighbors; "
     "on clustered corpora recall climbs with nprobe toward 1. "
     "Broadcast query set, equi-join on cluster id, unrolled-codegen "
-    "cosine, rank within query. Training runs on a bounded "
-    "deterministic sample (vec_id %% ceil(N/4096) == 0 — whole corpus "
-    "at test SFs) so its cost is corpus-size-independent; only the "
-    "final assignment scans everything. At 100 TB the corpus is "
-    "pre-partitioned by cluster so each probe is a partition-pruned "
-    "scan.",
+    "cosine, rank within query. Training runs on a deterministic "
+    "sample of ~256 vectors per centroid (vec_id %% ceil(N/(256K)) == "
+    "0 — the whole corpus at test SFs) so training cost tracks K², "
+    "not N; only the final assignment scans everything. At 100 TB the "
+    "corpus is pre-partitioned by cluster so each probe is a "
+    "partition-pruned scan.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, cent_df = _ivf_train(spark, sf_dir)
