@@ -1,0 +1,95 @@
+"""Property-based guarantees behind the candidate-then-verify dedup
+operators: the blocking schemes must NEVER miss the pairs they claim
+to capture (capture is what makes exact-verify-on-candidates sound)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cosmoz_data_pipeline_spark.functions.similarity import srp_planes_for, srp_weight
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_pigeonhole_never_misses_hamming3(sig, flips):
+    """Hamming distance <= 3 over a 64-bit signature guarantees at
+    least one of the 4 16-bit bands is identical (4 bands, 3 flipped
+    bits -> some band untouched) — the x_dedup_simhash_pairs blocking
+    invariant."""
+    other = sig
+    for b in set(flips):
+        other ^= 1 << b
+    bands_a = [(sig >> (16 * k)) & 0xFFFF for k in range(4)]
+    bands_b = [(other >> (16 * k)) & 0xFFFF for k in range(4)]
+    assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+@given(st.integers(min_value=1, max_value=10**13))
+@settings(max_examples=200, deadline=None)
+def test_srp_planes_bucket_occupancy_bound(n):
+    """2^r always covers ceil(n/8) (expected occupancy stays ~8)
+    unless the 30-plane clamp engages; r is monotone in n."""
+    r = srp_planes_for(n)
+    assert 8 <= r <= 30
+    assert 2**r >= -(-n // 8) or r == 30
+    assert srp_planes_for(n + 1) >= r
+
+
+@given(
+    plane=st.integers(min_value=0, max_value=255),
+    i=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_srp_weights_centered_and_stable(plane, i):
+    w = srp_weight(plane, i)
+    assert -1_000_000 <= w <= 1_000_000
+    assert w == srp_weight(plane, i)  # pure function of (plane, i)
+
+
+def test_srp_weights_planes_are_not_shifts_of_each_other():
+    """The round-3 fix regression guard: under the old LCG scheme,
+    w(p2,i) - w(p1,i) was a CONSTANT across i (mod wraparound), so all
+    planes voted identically and buckets collapsed. md5 weights must
+    not exhibit that structure."""
+    for p1, p2 in ((0, 1), (0, 8), (3, 11)):
+        diffs = {srp_weight(p2, i) - srp_weight(p1, i) for i in range(1, 65)}
+        assert len(diffs) > 32  # LCG gave |diffs| <= 2
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=20
+    ),
+    dup_idx=st.integers(min_value=0, max_value=19),
+)
+@settings(max_examples=200, deadline=None)
+def test_minhash_signature_ignores_duplicate_shingles(hashes, dup_idx):
+    """MinHash is a SET signature: repeating a shingle (the Spark
+    explode+lead path emits duplicates; the oracle list_distincts)
+    cannot change any component — the invariant that lets the engine
+    skip a distinct before the groupBy-min, and the reason J=1 exact
+    copies always share every band key."""
+    from cosmoz_data_pipeline_spark.functions.text import (
+        MINHASH_A0,
+        MINHASH_A_STEP,
+        MINHASH_B0,
+        MINHASH_B_STEP,
+        MINHASH_P,
+    )
+
+    def sig(hs):
+        return [
+            min(
+                ((MINHASH_A0 + MINHASH_A_STEP * i) * h + MINHASH_B0 + MINHASH_B_STEP * i)
+                % MINHASH_P
+                for h in hs
+            )
+            for i in range(12)
+        ]
+
+    duplicated = hashes + [hashes[dup_idx % len(hashes)]]
+    assert sig(hashes) == sig(duplicated)
