@@ -88,3 +88,53 @@ def test_stream_state_carries_across_microbatches(spark, sf_dir, tmp_path):
     post = (999, cut + dt.timedelta(hours=1))
     assert want[post] == (False, 100.0)
     assert got[post] == (False, 100.0)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """ST2's catch-up semantics in streaming form: a second AvailableNow
+    run against the same checkpoint picks up ONLY files added since the
+    first run, and the validity state carries across RUNS (not just
+    micro-batches) — the crash/restart story for an unbounded ingest."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows_a = [(7, base, 100.0), (7, base + dt.timedelta(hours=1), 105.0)]
+    #  500 is invalid ONLY if the last_valid=105 state survived the restart
+    rows_b = [(7, base + dt.timedelta(hours=2), 500.0),
+              (7, base + dt.timedelta(hours=3), 110.0)]
+
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+
+    def run_once():
+        schema = mk(rows_a).schema
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (
+            validate_sequential_stream(stream, key="user_id", time_col="ts", value_col="value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk(rows_a).coalesce(1).write.parquet(os.path.join(src, "a"))
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == 2
+
+    mk(rows_b).coalesce(1).write.parquet(os.path.join(src, "b"))
+    run_once()
+    got = {
+        r.ts: (r.valid, r.last_valid)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert len(got) == 4  # file a was NOT reprocessed (no duplicates)
+    assert got[base + dt.timedelta(hours=2)] == (False, 105.0)  # state survived restart
+    assert got[base + dt.timedelta(hours=3)] == (True, 110.0)
