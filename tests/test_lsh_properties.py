@@ -93,3 +93,21 @@ def test_minhash_signature_ignores_duplicate_shingles(hashes, dup_idx):
 
     duplicated = hashes + [hashes[dup_idx % len(hashes)]]
     assert sig(hashes) == sig(duplicated)
+
+
+@given(
+    lt=st.integers(min_value=0, max_value=10**9),
+    delta=st.integers(min_value=1, max_value=1740),
+    band=st.sampled_from([1740]),
+)
+@settings(max_examples=300, deadline=None)
+def test_banded_range_join_two_bucket_probe_never_misses(lt, delta, band):
+    """The interval-bucketing invariant behind banded_range_join (J7/
+    J10): any right row with r in [l - W, l) lies in bucket floor(l/W)
+    or floor(l/W) - 1, so the two-bucket probe provably captures every
+    in-range pair and the exact predicate only ever FILTERS candidates.
+    """
+    rt = lt - delta  # in-range by construction: lt - W <= rt < lt
+    lband = lt // band
+    rband = rt // band
+    assert rband in (lband - 1, lband)
