@@ -391,6 +391,95 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_PAIRS_CTES = f"""bandrows AS (
+    SELECT doc_id, 0 AS band_idx, s0 AS band_val FROM sg64
+    UNION ALL SELECT doc_id, 1, s1 FROM sg64
+    UNION ALL SELECT doc_id, 2, s2 FROM sg64
+    UNION ALL SELECT doc_id, 3, s3 FROM sg64),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sg64 sa ON sa.doc_id = c.doc_a
+    JOIN sg64 sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
+        + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3)"""
+
+CC_ITERS = 3  # >= the pair-graph diameter of the injected clusters
+
+
+def _cc_label_ctes() -> str:
+    """Fixed-iteration min-label propagation over the near-dup pair
+    graph, unrolled: lbl_{{t+1}}(v) = min(lbl_t(v), min over neighbors
+    lbl_t(u))."""
+    parts = [
+        """ed AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs)""",
+        """lab0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM ed)""",
+    ]
+    for t in range(CC_ITERS):
+        parts.append(
+            f"""lab{t + 1} AS (
+    SELECT n.doc_id, LEAST(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+    FROM lab{t} n LEFT JOIN (
+        SELECT e.src AS doc_id, min(l.lbl) AS mn
+        FROM ed e JOIN lab{t} l ON l.doc_id = e.dst GROUP BY 1) m
+      ON m.doc_id = n.doc_id)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "x_dedup_components",
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
+{_SIMHASH_PAIRS_CTES},
+{_cc_label_ctes()}
+SELECT doc_id, lbl AS component,
+       COUNT(*) OVER (PARTITION BY lbl) AS component_size
+FROM lab{CC_ITERS}""",
+    doc="Dedup pipeline completion: near-dup PAIRS → CLUSTERS with a "
+    "canonical id (min doc_id) per component, via fixed-iteration "
+    "min-label propagation over the SimHash Hamming<=3 pair graph — "
+    "each round is one broadcast/hash equi-join + partial-agg min, the "
+    "distributed connected-components shape (bounded-diameter variant; "
+    "at scale run rounds to a fix-point with an early-exit count). "
+    "Iteration count is fixed so both engines converge identically.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    ed = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = ed.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(CC_ITERS):
+        nbr = (
+            ed.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("mn"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id", F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl")
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("component"),
+        F.count(F.lit(1)).over(Window.partitionBy("lbl")).alias("component_size"),
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,54 +799,37 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_text_fingerprint",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()},
+    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()},
 fp AS (
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
-    FROM docs_aug)
-SELECT doc_id, fingerprint,
-       COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
-FROM fp""",
-    doc="Canonical document fingerprinting: md5 over the sorted distinct "
-    "token set (case/order/dup-insensitive) + per-fingerprint group size — "
-    "catches reordered/duplicated text that raw hashing misses.",
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_aug(spark, sf_dir)
-    fp = docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
-    return fp.select(
-        "doc_id",
-        "fingerprint",
-        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_same_fingerprint"),
-    )
-
-
-@register(
-    "x_text_rolling_hash",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()},
-rh AS (
-    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
            list_reduce(list_transform(toks,
                                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
                        (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
     FROM tk)
-SELECT doc_id, rolling_hash,
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint,
+       rolling_hash,
        COUNT(*) OVER (PARTITION BY rolling_hash) AS n_same_hash
-FROM rh""",
-    doc="Order-sensitive document fingerprint: Rabin-Karp-style rolling "
-    "hash folded over per-token 32-bit md5 prefixes (exact copies "
-    "collide; reordered text does NOT — complements the sorted-set "
-    "fingerprint). Integer-exact fold, one narrow scan + one window "
-    "shuffle on the 8-byte hash.",
+FROM fp""",
+    doc="Document fingerprinting, both modes in one scan (merged round "
+    "3): the order/dup-INSENSITIVE sorted-token-set md5 (catches "
+    "reordered/duplicated text) and the order-SENSITIVE Rabin-Karp "
+    "rolling hash over per-token 32-bit md5 prefixes (exact copies "
+    "collide, reordered text does not), each with its per-value group "
+    "size. Integer-exact fold; one narrow scan + two window shuffles.",
 )
-def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    rh = docs.select(
-        "doc_id", tx.rolling_hash(tx.tokens(F.col("text"))).alias("rolling_hash")
-    )
-    return rh.select(
+    fp = docs.select(
         "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        tx.rolling_hash(tx.tokens(F.col("text"))).alias("rolling_hash"),
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_same_fingerprint"),
         "rolling_hash",
         F.count(F.lit(1)).over(Window.partitionBy("rolling_hash")).alias("n_same_hash"),
     )
