@@ -43,6 +43,8 @@ HEADLINE = (
     "x_dedup_minhash_lsh",
     "x_dedup_simhash_pairs",
     "x_dedup_ngram_jaccard",
+    "x_dedup_components",
+    "x_decontaminate",
     "x_embed_cosine_neardup",
     "x_ann_cosine_topk",
     "x_ann_ivf_topk",

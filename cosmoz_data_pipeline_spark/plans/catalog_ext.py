@@ -530,15 +530,27 @@ FROM lab{CC_ITERS}""",
     "Iteration count is fixed so both engines converge identically.",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # Each superstep MATERIALIZES (persist + count) before the next —
+    # labels_{t+1} reads labels_t twice (neighbor-min + carry), so a
+    # lazy loop doubles the plan per iteration (measured: 1433
+    # exchanges in the unrolled tree vs ~7 per materialized step).
+    # Persist-per-superstep with lineage cut at the cache IS the
+    # standard Spark iterative-graph loop (GraphX/Pregel does exactly
+    # this); the per-step count() doubles as the fix-point/early-exit
+    # probe a scale deployment would use.
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ed = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
     )
-    ed = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    labels = (
+        ed.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
     )
-    labels = ed.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
-    )
+    labels.count()
     for _ in range(CC_ITERS):
         nbr = (
             ed.join(
@@ -549,9 +561,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("mn"))
             .withColumnRenamed("src", "doc_id")
         )
-        labels = labels.join(nbr, "doc_id", "left").select(
+        new_labels = labels.join(nbr, "doc_id", "left").select(
             "doc_id", F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl")
-        )
+        ).persist()
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
     return labels.select(
         "doc_id",
         F.col("lbl").alias("component"),
