@@ -530,27 +530,31 @@ FROM lab{CC_ITERS}""",
     "Iteration count is fixed so both engines converge identically.",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Each superstep MATERIALIZES (persist + count) before the next —
-    # labels_{t+1} reads labels_t twice (neighbor-min + carry), so a
-    # lazy loop doubles the plan per iteration (measured: 1433
-    # exchanges in the unrolled tree vs ~7 per materialized step).
-    # Persist-per-superstep with lineage cut at the cache IS the
-    # standard Spark iterative-graph loop (GraphX/Pregel does exactly
-    # this); the per-step count() doubles as the fix-point/early-exit
-    # probe a scale deployment would use.
-    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Iterative-graph loop, the GraphFrames/Pregel shape: each superstep
+    # must BOTH materialize (labels_{t+1} reads labels_t twice —
+    # neighbor-min + carry — so a lazy loop doubles the plan per
+    # iteration; measured 1433 exchanges in the unrolled tree) AND cut
+    # lineage.  persist() alone only cuts execution: Catalyst still
+    # re-analyzes the full nested logical tree every iteration (~960
+    # FileScan nodes by step 3, seconds of pure driver time).
+    # localCheckpoint truncates the plan itself; on a cluster this is
+    # df.checkpoint() to reliable storage (GraphFrames checkpoints its
+    # connected-components loop the same way).
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
     ed = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
+        .localCheckpoint()  # eager: materializes pairs -> ed now
     )
+    pairs.unpersist()
     labels = (
         ed.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(CC_ITERS):
         nbr = (
             ed.join(
@@ -561,12 +565,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("mn"))
             .withColumnRenamed("src", "doc_id")
         )
+        # The checkpoint materialization doubles as the fix-point probe:
+        # count labels that strictly improved this round.  Once 0, every
+        # later round is a no-op, so breaking early returns bit-identical
+        # results to the oracle's fixed CC_ITERS unroll.
         new_labels = labels.join(nbr, "doc_id", "left").select(
-            "doc_id", F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl")
-        ).persist()
-        new_labels.count()
-        labels.unpersist()
-        labels = new_labels
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
+            (F.coalesce("mn", "lbl") < F.col("lbl")).alias("chg"),
+        ).localCheckpoint()
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("chg").cast("long")), F.lit(0))
+        ).first()[0]
+        labels = new_labels.select("doc_id", "lbl")
+        if changed == 0:
+            break
     return labels.select(
         "doc_id",
         F.col("lbl").alias("component"),
