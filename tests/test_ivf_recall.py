@@ -1,0 +1,68 @@
+"""Recall evidence for the trained IVF index on a corpus it is DESIGNED
+for. The registry corpus is uniform-random (near-orthogonal) vectors —
+IVF's documented worst case, where measured recall@3 vs brute force is
+0.60 and insensitive to nprobe. This test builds a CLUSTERED corpus
+(44 tight clusters = exactly K=⌊√2000⌋, so Lloyd training can recover
+the true structure; interleaved vec_id % 44 assignment puts one seed in
+every true cluster) and asserts the same production query path reaches
+high recall — the honest split: the index shape is sound, the registry
+number reflects the corpus, not the operator.
+
+Injection needs zero refactor: both queries take sf_dir, so a tmp dir
+holding a synthetic embeddings.parquet IS the corpus.
+"""
+from __future__ import annotations
+
+import hashlib
+
+N_VECS = 2000
+N_CLUSTERS = 44  # == isqrt(N_VECS): K-means K matches true structure
+DIM = 64
+NOISE = 3e-2
+
+
+def _unit(key: str) -> float:
+    """Deterministic value in [-1, 1) from md5."""
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return h / 2**31 - 1.0
+
+
+def _corpus():
+    rows = []
+    for vec_id in range(N_VECS):
+        c = vec_id % N_CLUSTERS
+        v = [
+            _unit(f"center{c}_{d}") + NOISE * _unit(f"noise{vec_id}_{d}")
+            for d in range(DIM)
+        ]
+        rows.append((vec_id, v, c))
+    return rows
+
+
+def test_ivf_recall_on_clustered_corpus(spark, tmp_path):
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import (
+        q_ann_ivf_topk,
+        q_ann_topk,
+    )
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        _corpus(), "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    truth = {}
+    for r in q_ann_topk(spark, sf_dir).where("rk <= 3").collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in q_ann_ivf_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert len(truth) == N_VECS // 100  # every 100th vec_id is a query
+    assert set(got) == set(truth)
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    # uniform corpus: 0.60. Clustered corpus: the probe must find nearly
+    # every true neighbor, or the index isn't learning the structure.
+    assert recall >= 0.9, f"recall@3 = {recall:.3f} ({hits}/{total})"
+    spark.catalog.clearCache()
