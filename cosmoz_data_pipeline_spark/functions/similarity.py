@@ -166,7 +166,8 @@ proj AS (
     FROM qv JOIN wt USING (i) GROUP BY 1, 2),
 bk AS (
     SELECT vec_id, p // {planes_per_band} AS band,
-           sum(CASE WHEN s > 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN s > 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM proj GROUP BY 1, 2)"""
 
 
@@ -192,5 +193,6 @@ proj AS (
     FROM qv JOIN wt USING (i) GROUP BY 1, 2),
 bk AS (
     SELECT vec_id, p // cfg.r AS band,
-           sum(CASE WHEN s > 0 THEN 1 << (p % cfg.r) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN s > 0 THEN 1 << (p % cfg.r) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM proj, cfg GROUP BY 1, 2)"""

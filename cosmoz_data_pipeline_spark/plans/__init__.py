@@ -3,7 +3,7 @@ with every named (spark_fn, oracle_sql) query pair."""
 
 from __future__ import annotations
 
-from .registry import REGISTRY, Query, register
+from .registry import REGISTRY, Query, register, release_persists, scoped_persist
 
 # import for registration side effects
 from . import catalog_core  # noqa: E402,F401
@@ -50,4 +50,4 @@ if len(REGISTRY) > DRIVER_QUERY_BUDGET:  # pragma: no cover
         file=sys.stderr,
     )
 
-__all__ = ["REGISTRY", "Query", "register"]
+__all__ = ["REGISTRY", "Query", "register", "release_persists", "scoped_persist"]

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, scoped_persist
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -160,9 +160,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_K)
         ]
     )
-    sigs = mins.select(
+    sigs = scoped_persist(mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
-    ).persist()
+    ))
     bands = sigs.select(
         "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
     ).select("doc_id", F.explode("bk").alias("band_key"))
@@ -250,7 +250,7 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     "once and feed the band fan-out plus both verify sides.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = tx.simhash64_bands(_docs_aug(spark, sf_dir)).persist()
+    sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array("s0", "s1", "s2", "s3")).alias("band_idx", "band_val"),
@@ -369,8 +369,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "sh_set", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
         )
-        .persist()
     )
+    per_doc = scoped_persist(per_doc)
     bands = per_doc.select(
         "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
     ).select("doc_id", F.explode("bk").alias("band_key"))
@@ -785,9 +785,9 @@ WHERE round(list_aggregate(list_transform(generate_series(1, len(a.v)),
     "anywhere; shuffles carry (id, band, bucket) ints.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _emb_aug(spark, sf_dir).select(
+    vecs = scoped_persist(_emb_aug(spark, sf_dir).select(
         "vec_id", "v", sim.norm_unrolled(F.col("v"), EMBED_DIM).alias("nrm")
-    ).persist()
+    ))
     # sizing needs only the corpus cardinality — a vec_id-pruned scan
     # (memoized), NOT a count over the full augmented projection; the
     # persist above materializes lazily inside the final job instead
@@ -795,9 +795,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = sim.srp_planes_for(_emb_aug_count(spark, sf_dir))
     # persist: both sides of the candidate self-join read the band
     # table — uncached, the dim-exploded projection agg runs twice
-    bands = sim.srp_band_buckets(
+    bands = scoped_persist(sim.srp_band_buckets(
         vecs, spark, NEARDUP_BANDS, planes, EMBED_DIM
-    ).persist()
+    ))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1082,10 +1082,11 @@ _IVF_CENTROIDS: dict[str, list] = {}
 
 def _ivf_train(spark: SparkSession, sf_dir: str):
     """Driver-orchestrated integer Lloyd iterations (see block comment).
-    Returns (qv, final_cent_df) with qv persisted — callers unpersist."""
+    Returns (qv, final_cent_df); qv is scope-persisted, so the blocks
+    are freed by the caller's next release_persists()."""
     from math import isqrt
 
-    qv = _ivf_quantized(spark, sf_dir).persist()
+    qv = scoped_persist(_ivf_quantized(spark, sf_dir))
     memo = _IVF_CENTROIDS.get(sf_dir.rstrip("/"))
     if memo is not None:
         return qv, spark.createDataFrame(memo, "j int, i int, w long")
@@ -1173,7 +1174,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, cent_df = _ivf_train(spark, sf_dir)
     # persist: final distances feed BOTH the corpus assignment and the
     # per-query probe ranking
-    dist_f = _ivf_distances(qv, cent_df).persist()
+    dist_f = scoped_persist(_ivf_distances(qv, cent_df))
     assign = _argmin_cluster(dist_f)
     probe_w = Window.partitionBy("vec_id").orderBy("d2", "j")
     probes = (

@@ -12,7 +12,7 @@ import traceback
 
 sys.path.insert(0, ".")
 
-from cosmoz_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.compare import compare, duckdb_connection  # noqa: E402
 
@@ -36,8 +36,16 @@ def main() -> int:
         except Exception:
             status, msg = False, traceback.format_exc(limit=8)
         failures += not status
-        spark.catalog.clearCache()  # per-query persists must not accumulate
+        # No clearCache: every query's persisted intermediates are
+        # scope-tracked and released here, exactly as a long-lived
+        # session would do after each terminal action.
+        release_persists()
         print(f"{'PASS' if status else 'FAIL'} {name:32s} {time.time()-t0:6.1f}s {msg}")
+    # Leak gate: after releasing, the SQL cache manager must be empty —
+    # a persist that bypassed scoped_persist() shows up here.
+    if not spark._jsparkSession.sharedState().cacheManager().isEmpty():
+        print("LEAK: cacheManager not empty after release_persists()")
+        failures += 1
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 

@@ -24,6 +24,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif df[c].dtype.kind in "iu":
+            # Width-normalize WITHIN a kind (int32 == int64): the
+            # driver's canonical form equates widths but not kinds, so
+            # int-vs-float divergence must survive canonicalization to
+            # be caught by the dtype gate in compare().
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -36,6 +44,20 @@ def compare(spark_df, oracle_sql: str, con) -> tuple[bool, str]:
         return False, f"columns {list(s.columns)} vs {list(d.columns)}"
     for c in s.columns:
         a, b = s[c], d[c]
+        # Driver-faithful dtype gate: the driver hashes canonicalized
+        # values, so an int64 Spark column against a float64 oracle
+        # column (e.g. DuckDB promoting integer sum() to HUGEINT, which
+        # pandas materializes as float64) hashes 15 vs 15.0 and FAILS
+        # even when every value is numerically equal. Mirror that here:
+        # numeric kind divergence (int vs float) is an error, not a
+        # tolerated coercion. Width differences within a kind (int32 vs
+        # int64) are fine — the driver's canonical form equates those.
+        if a.dtype.kind != b.dtype.kind:
+            return False, (
+                f"dtype kind mismatch col {c}: spark {a.dtype} vs oracle {b.dtype} "
+                f"(driver hash would differ even on equal values — "
+                f"CAST the oracle output column, e.g. HUGEINT sum() -> BIGINT)"
+            )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             ok = ((a.isna() & b.isna()) | (a == b)).all()
             if not ok:
