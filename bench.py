@@ -19,12 +19,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cosmoz_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 
 # Round 3 broadened the set (VERDICT r2 task 7): every level, the
 # stateful-streaming op, and the round-3 rebuilt candidate-verify /
 # trained-IVF queries, so regressions in those paths show per round.
+# Round 4 added the DEPLOYED shape (VERDICT r3 task 4): the reference's
+# cron path is the incremental-overwrite/stream-dedup/NMDB-fetch chain
+# (reference process_levels.sh:19-20, contrib/docker/docker-compose.yml:149),
+# so st1/st6/s07 — plus j10/a02 — now carry a per-round perf signal.
 HEADLINE = (
     "s01_scan_pushdown",
     "a01_pricing_summary",
@@ -34,6 +38,11 @@ HEADLINE = (
     "w03_centered_time_avg",
     "j05_asof_backward_join",
     "j07_windowed_dedup",
+    "j10_near_duplicate_pairs",
+    "a02_last_star_selector",
+    "st1_incremental_overwrite",
+    "st6_stream_dedup_watermark",
+    "s07_nmdb_fetch_parse",
     "level1",
     "level2",
     "level3",
@@ -78,7 +87,8 @@ def main() -> None:
             q.run(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-            spark.catalog.clearCache()  # drop per-query persists between runs
+            release_persists()  # free scope-tracked intermediates
+            spark.catalog.clearCache()  # cold-cache policy between runs
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1070,58 +1070,80 @@ def _argmin_cluster(dist: DataFrame) -> DataFrame:
     )
 
 
-# Trained-centroid memo, keyed by corpus dir. An IVF index is built
-# once and amortized over every subsequent search (the faiss
+# Trained-centroid memo, keyed by (session, corpus dir). An IVF index
+# is built once and amortized over every subsequent search (the faiss
 # train/add/search split); re-deriving the coarse quantizer per query
 # would be like rebuilding a B-tree per lookup. Training is fully
 # deterministic (seeded init, fixed iterations, integer arithmetic),
 # so the memo changes cost, never results — the oracle unrolls the
-# identical iterations and still matches on a cold OR warm call.
-_IVF_CENTROIDS: dict[str, list] = {}
+# identical iterations and still matches on a cold OR warm call. The
+# memoized value is a localCheckpointed (j, i, w) DataFrame — K×dim
+# rows living in executor blocks, never collected to the driver.
+_IVF_CENTROIDS: dict[tuple[int, str], DataFrame] = {}
 
 
 def _ivf_train(spark: SparkSession, sf_dir: str):
-    """Driver-orchestrated integer Lloyd iterations (see block comment).
-    Returns (qv, final_cent_df); qv is scope-persisted, so the blocks
-    are freed by the caller's next release_persists()."""
+    """Integer Lloyd iterations with the centroid table carried as a
+    DataFrame end-to-end (round-4 rebuild of the driver-dict loop: at
+    N=10⁹, K=⌊√N⌋ ≈ 31.6k centroids × 64 dims ≈ 2M rows — too big to
+    funnel through driver Python each iteration, trivial as executor-
+    side blocks). Per iteration: assign the training sample to its
+    argmin centroid (broadcast join), partial-agg the new means, and
+    LEFT-join onto the previous centroids so empty clusters keep their
+    old value — then localCheckpoint to cut the iterative lineage
+    (df.checkpoint() to reliable storage on a real cluster). The only
+    driver-side values are n and k; no centroid row ever leaves the
+    executors. Returns (qv, cent_df); qv is scope-persisted, so its
+    blocks are freed by the caller's next release_persists()."""
     from math import isqrt
 
     qv = scoped_persist(_ivf_quantized(spark, sf_dir))
-    memo = _IVF_CENTROIDS.get(sf_dir.rstrip("/"))
+    key = (id(spark), sf_dir.rstrip("/"))
+    memo = _IVF_CENTROIDS.get(key)
     if memo is not None:
-        return qv, spark.createDataFrame(memo, "j int, i int, w long")
+        return qv, memo
     n = load_table(spark, sf_dir, "embeddings").count()
     k = isqrt(n)
     target = IVF_TRAIN_PER_CENTROID * k
     m = (n + target - 1) // target
     qv_train = qv.where(F.col("vec_id") % m == 0) if m > 1 else qv
-    seed_ids = [
-        r[0]
-        for r in load_table(spark, sf_dir, "embeddings")
+    # Seeds: the k smallest sampled vec_ids ranked 0..k-1. The global
+    # row_number window is the one narrow stage, and it is K-sized
+    # (post-LIMIT), never N-sized.
+    seed = (
+        load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") % m == 0)
-        .select("vec_id").orderBy("vec_id").limit(k).collect()
-    ]
-    rank = {v: j for j, v in enumerate(seed_ids)}
-    cents = {
-        (rank[r["vec_id"]], r["i"]): r["q"]
-        for r in qv.where(F.col("vec_id").isin(seed_ids)).collect()
-    }
-    for _ in range(IVF_ITERS):
-        cent_df = spark.createDataFrame(
-            [(j, i, w) for (j, i), w in cents.items()], "j int, i int, w long"
+        .select("vec_id").orderBy("vec_id").limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("j"),
+            "vec_id",
         )
+    )
+    cent_df = (
+        seed.join(qv, "vec_id")
+        .select("j", "i", F.col("q").alias("w"))
+        .localCheckpoint()
+    )
+    for _ in range(IVF_ITERS):
         assign = _argmin_cluster(_ivf_distances(qv_train, cent_df))
         upd = (
             assign.join(qv_train, "vec_id")
             .groupBy("cluster", "i")
-            .agg(F.floor(F.sum("q") / F.count(F.lit(1))).alias("w"))
-            .collect()
+            .agg(F.floor(F.sum("q") / F.count(F.lit(1))).alias("uw"))
         )
         # empty clusters keep their previous centroid
-        cents = {**cents, **{(r["cluster"], r["i"]): r["w"] for r in upd}}
-    rows = [(j, i, w) for (j, i), w in cents.items()]
-    _IVF_CENTROIDS[sf_dir.rstrip("/")] = rows
-    return qv, spark.createDataFrame(rows, "j int, i int, w long")
+        cent_df = (
+            cent_df.join(
+                upd,
+                (cent_df["j"] == upd["cluster"]) & (cent_df["i"] == upd["i"]),
+                "left",
+            )
+            .select(cent_df["j"], cent_df["i"], F.coalesce("uw", "w").alias("w"))
+            .localCheckpoint()
+        )
+    _IVF_CENTROIDS[key] = cent_df
+    return qv, cent_df
 
 
 @register(
@@ -1170,7 +1192,11 @@ WHERE rk <= 3""",
     "index build, steady-state searches reuse it — deterministic "
     "training means identical results either way.",
 )
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Exact cosine over every candidate the probe admits — the scored
+    set BEFORE top-k ranking, parameterized by nprobe so the recall/
+    cost operating curve (tests/test_ivf_recall.py) exercises the
+    production path, not a test-only fork."""
     qv, cent_df = _ivf_train(spark, sf_dir)
     # persist: final distances feed BOTH the corpus assignment and the
     # per-query probe ranking
@@ -1180,7 +1206,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         dist_f.where(F.col("vec_id") % 100 == 0)
         .select("vec_id", "j", F.row_number().over(probe_w).alias("rk"))
-        .where(F.col("rk") <= IVF_NPROBE)
+        .where(F.col("rk") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("j").alias("cluster"))
     )
     vecs = _vectors(spark, sf_dir).drop("label")
@@ -1195,7 +1221,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
     )
-    scored = vc.join(q, "cluster").where(F.col("vec_id") != F.col("query_id")).select(
+    return vc.join(q, "cluster").where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "cluster",
@@ -1204,6 +1230,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosine"),
     )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _ivf_scored(spark, sf_dir, IVF_NPROBE)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.select(
         "query_id", "neighbor_id",

@@ -66,3 +66,118 @@ def test_ivf_recall_on_clustered_corpus(spark, tmp_path):
     # every true neighbor, or the index isn't learning the structure.
     assert recall >= 0.9, f"recall@3 = {recall:.3f} ({hits}/{total})"
     spark.catalog.clearCache()
+
+
+def test_ivf_recall_vs_nprobe_operating_curve(spark, tmp_path):
+    """The deployment decision a 100 TB ANN rollout needs: how recall@3
+    and scored-candidate cost trade off as nprobe grows. Sweeps the
+    PRODUCTION scoring path (_ivf_scored) at nprobe ∈ {1,2,4,8} on the
+    clustered corpus and asserts both curves are monotone non-decreasing
+    and that the full-probe end of the curve reaches the brute-force
+    ceiling. Measured values are recorded in README.md ("IVF operating
+    curve")."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import (
+        _ivf_scored,
+        q_ann_topk,
+    )
+    from cosmoz_data_pipeline_spark.plans.registry import release_persists
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        _corpus(), "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    truth = {}
+    for r in q_ann_topk(spark, sf_dir).where("rk <= 3").collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_queries = len(truth)
+    brute_candidates = n_queries * (N_VECS - 1)
+
+    curve = []
+    for nprobe in (1, 2, 4, 8):
+        scored = _ivf_scored(spark, sf_dir, nprobe)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        rows = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where("rk <= 3")
+            .collect()
+        )
+        n_cand = scored.count()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(truth[q]) for q in truth)
+        curve.append((nprobe, hits / total, n_cand / brute_candidates))
+        release_persists()
+
+    print("\nnprobe  recall@3  candidate_fraction")
+    for nprobe, rec, frac in curve:
+        print(f"{nprobe:6d}  {rec:8.3f}  {frac:18.4f}")
+
+    recalls = [rec for _, rec, _ in curve]
+    fracs = [frac for _, _, frac in curve]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert fracs == sorted(fracs), f"candidate cost not monotone: {fracs}"
+    assert recalls[-1] >= 0.99, f"nprobe=8 should reach ceiling: {recalls[-1]}"
+    assert fracs[0] < 0.2, f"nprobe=1 should scan a small fraction: {fracs[0]}"
+    spark.catalog.clearCache()
+
+
+def test_ivf_recall_vs_nprobe_uniform_corpus(spark, sf_dir):
+    """Same sweep on the registry's uniform-random corpus — IVF's
+    documented worst case, where recall varies with nprobe instead of
+    saturating. Asserts monotone non-decreasing recall and cost; the
+    pair of curves (clustered saturates at nprobe=1, uniform climbs
+    slowly) is the evidence that nprobe tuning is corpus-dependent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import (
+        _ivf_scored,
+        q_ann_topk,
+    )
+    from cosmoz_data_pipeline_spark.plans.registry import release_persists
+
+    truth = {}
+    for r in q_ann_topk(spark, sf_dir).where("rk <= 3").collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_vecs = q_ann_topk.__globals__["load_table"](
+        spark, sf_dir, "embeddings"
+    ).count()
+    brute_candidates = len(truth) * (n_vecs - 1)
+
+    curve = []
+    for nprobe in (1, 2, 4, 8):
+        scored = _ivf_scored(spark, sf_dir, nprobe)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        rows = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where("rk <= 3")
+            .collect()
+        )
+        n_cand = scored.count()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(truth[q]) for q in truth)
+        curve.append((nprobe, hits / total, n_cand / brute_candidates))
+        release_persists()
+
+    print("\nuniform corpus: nprobe  recall@3  candidate_fraction")
+    for nprobe, rec, frac in curve:
+        print(f"{nprobe:6d}  {rec:8.3f}  {frac:18.4f}")
+
+    recalls = [rec for _, rec, _ in curve]
+    fracs = [frac for _, _, frac in curve]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert fracs == sorted(fracs), f"candidate cost not monotone: {fracs}"
+    spark.catalog.clearCache()
