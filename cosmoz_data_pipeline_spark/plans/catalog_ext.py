@@ -480,7 +480,7 @@ cand AS (
     FROM bandrows a JOIN bandrows b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT c.doc_a, c.doc_b
     FROM cand c
     JOIN sg64 sa ON sa.doc_id = c.doc_a
@@ -488,22 +488,36 @@ pairs AS (
     WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
         + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3)"""
 
-CC_ITERS = 3  # >= the pair-graph diameter of the injected clusters
+# Oracle-side unroll bound for the connected-components CTEs. The
+# Spark path runs min-label propagation TO THE FIX-POINT (the checkpoint
+# materialization returns the changed-label count for free), so it is
+# correct at any graph diameter; only the oracle's fixed unroll needs a
+# bound, and 8 covers every test corpus with headroom (registry corpora
+# converge in <=3 rounds; the chain fixture in tests/test_components.py
+# has diameter 7 and exists precisely to exercise rounds 4-7, past the
+# old CC_ITERS=3 where a fixed-iteration Spark loop silently agreed
+# with the oracle while both under-converged).
+CC_ITERS = 8
 
 
 def _cc_label_ctes() -> str:
     """Fixed-iteration min-label propagation over the near-dup pair
     graph, unrolled: lbl_{{t+1}}(v) = min(lbl_t(v), min over neighbors
-    lbl_t(u))."""
+    lbl_t(u)). Every CTE is MATERIALIZED: lab{{t+1}} references lab{{t}}
+    twice (carry + neighbor-min), so inlined CTEs re-expand the whole
+    upstream pipeline 2^t times — at CC_ITERS=8 that is 256 evaluations
+    of the simhash chain and DuckDB falls over on file handles before
+    it even gets slow. Materialization is the oracle-side analogue of
+    the Spark loop's localCheckpoint."""
     parts = [
-        """ed AS (
+        """ed AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION ALL SELECT doc_b, doc_a FROM pairs)""",
-        """lab0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM ed)""",
+        """lab0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lbl FROM ed)""",
     ]
     for t in range(CC_ITERS):
         parts.append(
-            f"""lab{t + 1} AS (
+            f"""lab{t + 1} AS MATERIALIZED (
     SELECT n.doc_id, LEAST(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
     FROM lab{t} n LEFT JOIN (
         SELECT e.src AS doc_id, min(l.lbl) AS mn
@@ -525,9 +539,11 @@ FROM lab{CC_ITERS}""",
     "canonical id (min doc_id) per component, via fixed-iteration "
     "min-label propagation over the SimHash Hamming<=3 pair graph — "
     "each round is one broadcast/hash equi-join + partial-agg min, the "
-    "distributed connected-components shape (bounded-diameter variant; "
-    "at scale run rounds to a fix-point with an early-exit count). "
-    "Iteration count is fixed so both engines converge identically.",
+    "distributed connected-components shape. The Spark loop runs to "
+    "the FIX-POINT (changed-label count from the checkpoint "
+    "materialization), so it is correct at any graph diameter; the "
+    "oracle unrolls CC_ITERS=8 rounds, enough for every test corpus "
+    "(diameter-7 chain fixture included).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative-graph loop, the GraphFrames/Pregel shape: each superstep
@@ -555,7 +571,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(CC_ITERS):
+    # True fix-point loop (round 4: was `range(CC_ITERS)`): min-label
+    # propagation strictly decreases some label every non-converged
+    # round and labels are bounded below by the component min, so
+    # termination is guaranteed in <= diameter rounds. The checkpoint
+    # materialization doubles as the fix-point probe: count labels that
+    # strictly improved this round; 0 means converged. The oracle's
+    # fixed CC_ITERS unroll matches exactly as long as the pair-graph
+    # diameter is <= CC_ITERS — guarded by the union-find property test
+    # and the diameter-7 chain fixture in tests/test_components.py.
+    while True:
         nbr = (
             ed.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
@@ -565,10 +590,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("mn"))
             .withColumnRenamed("src", "doc_id")
         )
-        # The checkpoint materialization doubles as the fix-point probe:
-        # count labels that strictly improved this round.  Once 0, every
-        # later round is a no-op, so breaking early returns bit-identical
-        # results to the oracle's fixed CC_ITERS unroll.
         new_labels = labels.join(nbr, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
@@ -1002,9 +1023,13 @@ def _ivf_sql_ctes() -> str:
         """cent0 AS (
     SELECT s.j, e.i, e.q AS w FROM seed s JOIN ex e ON e.vec_id = s.vec_id)""",
     ]
+    # dist{t}/cent{t+1} each reference cent{t}/dist{t} more than once;
+    # MATERIALIZED stops DuckDB re-expanding the training chain 2^t
+    # times (the oracle-side analogue of the Spark loop's
+    # localCheckpoint).
     for t in range(IVF_ITERS):
         parts += [
-            f"""dist{t} AS (
+            f"""dist{t} AS MATERIALIZED (
     SELECT exs.vec_id, c.j, sum((exs.q - c.w) * (exs.q - c.w)) AS d2
     FROM exs JOIN cent{t} c ON exs.i = c.i GROUP BY 1, 2)""",
             f"""mind{t} AS (SELECT vec_id, min(d2) AS md FROM dist{t} GROUP BY 1)""",
@@ -1015,13 +1040,13 @@ def _ivf_sql_ctes() -> str:
     SELECT a.cluster AS j, e.i,
            CAST(floor(sum(e.q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS w
     FROM asg{t} a JOIN exs e ON e.vec_id = a.vec_id GROUP BY 1, 2)""",
-            f"""cent{t + 1} AS (
+            f"""cent{t + 1} AS MATERIALIZED (
     SELECT c.j, c.i, coalesce(u.w, c.w) AS w FROM cent{t} c
     LEFT JOIN upd{t} u ON u.j = c.j AND u.i = c.i)""",
         ]
     T = IVF_ITERS
     parts += [
-        f"""distF AS (
+        f"""distF AS MATERIALIZED (
     SELECT ex.vec_id, c.j, sum((ex.q - c.w) * (ex.q - c.w)) AS d2
     FROM ex JOIN cent{T} c ON ex.i = c.i GROUP BY 1, 2)""",
         """mindF AS (SELECT vec_id, min(d2) AS md FROM distF GROUP BY 1)""",
@@ -1192,6 +1217,17 @@ WHERE rk <= 3""",
     "index build, steady-state searches reuse it — deterministic "
     "training means identical results either way.",
 )
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _ivf_scored(spark, sf_dir, IVF_NPROBE)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id",
+        F.col("cluster").cast("long").alias("cluster"),  # oracle's j is BIGINT
+        "cosine",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).where(F.col("rk") <= 3)
+
+
 def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
     """Exact cosine over every candidate the probe admits — the scored
     set BEFORE top-k ranking, parameterized by nprobe so the recall/
@@ -1230,17 +1266,6 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> D
             6,
         ).alias("cosine"),
     )
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _ivf_scored(spark, sf_dir, IVF_NPROBE)
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.select(
-        "query_id", "neighbor_id",
-        F.col("cluster").cast("long").alias("cluster"),  # oracle's j is BIGINT
-        "cosine",
-        F.row_number().over(w).cast("long").alias("rk"),
-    ).where(F.col("rk") <= 3)
 
 
 @register(

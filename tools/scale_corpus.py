@@ -1,0 +1,127 @@
+"""Deterministic synthetic corpora for one-decade scaling evidence
+(VERDICT r3 task 8). Generates events/documents/embeddings tables with
+the same schemas, cardinality ratios and value distributions as the
+driver's sf0.1 corpus (measured: documents 10-100 tokens avg 54 from a
+31-word vocab, 5 langs, 20 sources; embeddings 64-dim floats in
+[-0.4, 0.4], label 0-9) at an arbitrary multiplier, so the SAME
+generator produces an x1 and an x10 corpus and wall-time ratios
+measure data scaling, not distribution drift.
+
+Everything is Spark-side expression codegen over spark.range — no
+driver loops, no Python UDFs — with md5-derived pseudo-randomness, so
+generation itself scales and is bit-reproducible.
+
+Usage: python tools/scale_corpus.py OUT_DIR MULTIPLIER
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# sf0.1 base cardinalities (TESTDATA corpus, measured)
+BASE_EVENTS = 100_000
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+
+VOCAB = (
+    "batch part spark line column order small sort fast slow join row "
+    "scan read write group filter map shuffle stage task plan query "
+    "table index merge split cache store stream"
+).split()  # 31 words, matching the driver corpus vocabulary size
+LANGS = ["en", "es", "de", "fr", "zh"]
+EVENT_TYPES = ["view", "click", "error", "purchase", "login"]
+
+
+def _h(tag: str, *cols: Column) -> Column:
+    """32-bit integer hash of (tag, cols...) — the generator's PRNG."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("_", F.lit(tag), *cols)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def gen_events(spark: SparkSession, n: int) -> DataFrame:
+    ids = spark.range(n).withColumnRenamed("id", "event_id")
+    h = _h("ev", F.col("event_id"))
+    return ids.select(
+        "event_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("event_id") * F.lit(40.0) / F.lit(69.0))
+        ).alias("ts"),
+        (h % 2000).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in EVENT_TYPES]), (h % 5 + 1).cast("int")
+        ).alias("event_type"),
+        F.round((h % 56022) / 1e2, 2).alias("value"),
+        F.concat(F.lit('{"k": '), (h % 100).cast("string"), F.lit("}")).alias("props"),
+    )
+
+
+def gen_documents(spark: SparkSession, n: int) -> DataFrame:
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    n_toks = (_h("dlen", F.col("doc_id")) % 91 + 10).cast("int")
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    toks = F.transform(
+        F.sequence(F.lit(1), n_toks),
+        lambda i: F.element_at(
+            vocab, (_h("dtok", F.col("doc_id"), i) % len(VOCAB) + 1).cast("int")
+        ),
+    )
+    text = F.concat_ws(" ", toks)
+    return ids.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(lg) for lg in LANGS]),
+            (_h("dlang", F.col("doc_id")) % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), (_h("dsrc", F.col("doc_id")) % 20).cast("string")).alias(
+            "source"
+        ),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    ids = spark.range(n).withColumnRenamed("id", "vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            (_h("emb", F.col("vec_id"), i) % 800001) / F.lit(1e6) - F.lit(0.4)
+        ).cast("float"),
+    )
+    return ids.select(
+        "vec_id",
+        vec.alias("embedding"),
+        (_h("elab", F.col("vec_id")) % 10).cast("int").alias("label"),
+    )
+
+
+def generate(spark: SparkSession, out_dir: str, mult: int) -> None:
+    gen_events(spark, BASE_EVENTS * mult).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+    gen_documents(spark, BASE_DOCS * mult).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    gen_embeddings(spark, BASE_VECS * mult).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    # nation feeds the all_stations dimension — copy the real one
+    spark.read.parquet("/root/testdata/sf0.1/nation.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/nation.parquet")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    from cosmoz_data_pipeline_spark.session import build_session
+
+    out, mult = sys.argv[1], int(sys.argv[2])
+    s = build_session(app_name="scale-corpus")
+    s.sparkContext.setLogLevel("ERROR")
+    generate(s, out, mult)
+    print(f"wrote x{mult} corpus to {out}")
