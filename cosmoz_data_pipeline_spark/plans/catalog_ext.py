@@ -25,6 +25,27 @@ LSH_BANDS = 4
 LSH_ROWS = 3
 EMBED_DIM = 64  # embeddings-table vector width (TESTDATA.md)
 
+
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage for an iterative-loop superstep.
+
+    Default is ``localCheckpoint`` (blocks on executors — right for
+    local/test runs). When ``spark.cosmoz.checkpoint.dir`` is set, use
+    a RELIABLE ``checkpoint`` into that directory instead: on a real
+    cluster a multi-superstep job must survive executor loss, and
+    localCheckpoint blocks die with their executor (GraphFrames'
+    connected-components loop checkpoints durably for the same
+    reason). The switch is a session conf so the 100 TB deployment is
+    a config line, not a code fork."""
+    spark = df.sparkSession
+    ckdir = spark.conf.get("spark.cosmoz.checkpoint.dir", "")
+    if ckdir:
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
 # ---------------------------------------------------------------- corpus
 
 _DOCS_AUG_SQL = """
@@ -559,17 +580,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
-    ed = (
+    ed = _iter_checkpoint(  # eager: materializes pairs -> ed now
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()  # eager: materializes pairs -> ed now
     )
     pairs.unpersist()
-    labels = (
+    labels = _iter_checkpoint(
         ed.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
     )
     # True fix-point loop (round 4: was `range(CC_ITERS)`): min-label
     # propagation strictly decreases some label every non-converged
@@ -590,11 +609,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("mn"))
             .withColumnRenamed("src", "doc_id")
         )
-        new_labels = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
-            (F.coalesce("mn", "lbl") < F.col("lbl")).alias("chg"),
-        ).localCheckpoint()
+        new_labels = _iter_checkpoint(
+            labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
+                (F.coalesce("mn", "lbl") < F.col("lbl")).alias("chg"),
+            )
+        )
         changed = new_labels.agg(
             F.coalesce(F.sum(F.col("chg").cast("long")), F.lit(0))
         ).first()[0]
@@ -1145,10 +1166,8 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
             "vec_id",
         )
     )
-    cent_df = (
-        seed.join(qv, "vec_id")
-        .select("j", "i", F.col("q").alias("w"))
-        .localCheckpoint()
+    cent_df = _iter_checkpoint(
+        seed.join(qv, "vec_id").select("j", "i", F.col("q").alias("w"))
     )
     for _ in range(IVF_ITERS):
         assign = _argmin_cluster(_ivf_distances(qv_train, cent_df))
@@ -1158,14 +1177,13 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
             .agg(F.floor(F.sum("q") / F.count(F.lit(1))).alias("uw"))
         )
         # empty clusters keep their previous centroid
-        cent_df = (
+        cent_df = _iter_checkpoint(
             cent_df.join(
                 upd,
                 (cent_df["j"] == upd["cluster"]) & (cent_df["i"] == upd["i"]),
                 "left",
             )
             .select(cent_df["j"], cent_df["i"], F.coalesce("uw", "w").alias("w"))
-            .localCheckpoint()
         )
     _IVF_CENTROIDS[key] = cent_df
     return qv, cent_df

@@ -49,11 +49,23 @@ def incremental_overwrite(
     ``transformed`` must be built from the full input (window
     functions near the boundary need pre-window context); the window
     filter applies only at write time.
+
+    The pre-write ``repartition`` on the partition keys is
+    load-bearing: without it every write task fans out one file into
+    EVERY (site, day) directory it touches — tasks × dirs small files
+    (measured at sf0.1: the ~1,400-directory backfill cost 38.8 s,
+    dominated by file commit, and the blow-up grows with span × tasks).
+    Hash-clustering rows by (site, day) first makes each directory the
+    output of exactly one task — total files == touched partitions —
+    for one keyed shuffle of the window's rows. Same cure at 100 TB,
+    where a day partition is big enough that the shuffle is the cheap
+    part.
     """
     day_start = F.to_date(F.lit(since).cast("timestamp_ntz"))
     (
         transformed.where(F.to_date(time_col) >= day_start)
         .withColumn("p_date", F.to_date(time_col))
+        .repartition(F.col(partition_col), F.col("p_date"))
         .write.mode("overwrite")
         # per-write option, not the session-global conf: concurrent
         # overwrites on the same SparkSession must not race on a
