@@ -509,62 +509,46 @@ pairs AS MATERIALIZED (
     WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
         + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3)"""
 
-# Oracle-side unroll bound for the connected-components CTEs. The
-# Spark path runs min-label propagation TO THE FIX-POINT (the checkpoint
-# materialization returns the changed-label count for free), so it is
-# correct at any graph diameter; only the oracle's fixed unroll needs a
-# bound, and 8 covers every test corpus with headroom (registry corpora
-# converge in <=3 rounds; the chain fixture in tests/test_components.py
-# has diameter 7 and exists precisely to exercise rounds 4-7, past the
-# old CC_ITERS=3 where a fixed-iteration Spark loop silently agreed
-# with the oracle while both under-converged).
-CC_ITERS = 8
-
-
-def _cc_label_ctes() -> str:
-    """Fixed-iteration min-label propagation over the near-dup pair
-    graph, unrolled: lbl_{{t+1}}(v) = min(lbl_t(v), min over neighbors
-    lbl_t(u)). Every CTE is MATERIALIZED: lab{{t+1}} references lab{{t}}
-    twice (carry + neighbor-min), so inlined CTEs re-expand the whole
-    upstream pipeline 2^t times — at CC_ITERS=8 that is 256 evaluations
-    of the simhash chain and DuckDB falls over on file handles before
-    it even gets slow. Materialization is the oracle-side analogue of
-    the Spark loop's localCheckpoint."""
-    parts = [
-        """ed AS MATERIALIZED (
+# Connected-components oracle: RECURSIVE transitive closure instead of
+# a fixed unroll. Round 4's sf0.1 sweep proved any fixed bound is a
+# trap: the sf0.1 pair graph needs >8 propagation rounds, so an
+# 8-round unroll under-converged (component 20 where the true min is
+# 17) while the Spark fix-point loop was right — and at the ORIGINAL
+# CC_ITERS=3 BOTH sides under-converged in silent agreement. With the
+# recursive closure (reach = every node reachable from doc_id; label =
+# min(reach)) the oracle terminates at the true fix-point at any
+# diameter, exactly like the Spark loop. Closure size is
+# sum(cluster_size^2) — fine at oracle SFs, and the oracle never runs
+# at corpus scale.
+_CC_CLOSURE_CTES = """ed AS MATERIALIZED (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL SELECT doc_b, doc_a FROM pairs)""",
-        """lab0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lbl FROM ed)""",
-    ]
-    for t in range(CC_ITERS):
-        parts.append(
-            f"""lab{t + 1} AS MATERIALIZED (
-    SELECT n.doc_id, LEAST(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
-    FROM lab{t} n LEFT JOIN (
-        SELECT e.src AS doc_id, min(l.lbl) AS mn
-        FROM ed e JOIN lab{t} l ON l.doc_id = e.dst GROUP BY 1) m
-      ON m.doc_id = n.doc_id)"""
-        )
-    return ",\n".join(parts)
+    UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+    SELECT src AS doc_id, src AS lbl FROM ed
+    UNION
+    SELECT e.src AS doc_id, r.lbl
+    FROM ed e JOIN reach r ON r.doc_id = e.dst),
+lab AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY 1)"""
 
 
 @register(
     "x_dedup_components",
-    f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
+    f"""WITH RECURSIVE {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
 {_SIMHASH_PAIRS_CTES},
-{_cc_label_ctes()}
+{_CC_CLOSURE_CTES}
 SELECT doc_id, lbl AS component,
        COUNT(*) OVER (PARTITION BY lbl) AS component_size
-FROM lab{CC_ITERS}""",
+FROM lab""",
     doc="Dedup pipeline completion: near-dup PAIRS → CLUSTERS with a "
-    "canonical id (min doc_id) per component, via fixed-iteration "
-    "min-label propagation over the SimHash Hamming<=3 pair graph — "
-    "each round is one broadcast/hash equi-join + partial-agg min, the "
+    "canonical id (min doc_id) per component, via min-label "
+    "propagation over the SimHash Hamming<=3 pair graph — each round "
+    "is one broadcast/hash equi-join + partial-agg min, the "
     "distributed connected-components shape. The Spark loop runs to "
     "the FIX-POINT (changed-label count from the checkpoint "
-    "materialization), so it is correct at any graph diameter; the "
-    "oracle unrolls CC_ITERS=8 rounds, enough for every test corpus "
-    "(diameter-7 chain fixture included).",
+    "materialization) and the oracle is a recursive-CTE transitive "
+    "closure, so BOTH engines converge exactly at any graph diameter "
+    "— no bounded-diameter assumption anywhere (the r3 fixed unroll "
+    "under-converged on the sf0.1 graph).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative-graph loop, the GraphFrames/Pregel shape: each superstep
@@ -590,15 +574,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
     )
-    # True fix-point loop (round 4: was `range(CC_ITERS)`): min-label
+    # True fix-point loop (round 4: was a fixed 3 rounds): min-label
     # propagation strictly decreases some label every non-converged
     # round and labels are bounded below by the component min, so
     # termination is guaranteed in <= diameter rounds. The checkpoint
     # materialization doubles as the fix-point probe: count labels that
     # strictly improved this round; 0 means converged. The oracle's
-    # fixed CC_ITERS unroll matches exactly as long as the pair-graph
-    # diameter is <= CC_ITERS — guarded by the union-find property test
-    # and the diameter-7 chain fixture in tests/test_components.py.
+    # recursive closure converges at the same fix-point at any
+    # diameter — guarded by the union-find property test and the
+    # diameter-7 chain fixture in tests/test_components.py.
     while True:
         nbr = (
             ed.join(

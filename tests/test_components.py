@@ -2,10 +2,10 @@
 propagation must agree with ground-truth union-find connected
 components computed in plain Python over the same pair list.
 
-CC_ITERS is chosen >= the pair-graph diameter of the injected near-dup
-clusters; this test is the guard that the assumption actually holds on
-the corpus (if a longer chain ever appears, labels stop matching and
-this fails before the oracle gate does).
+Both the Spark loop (fix-point with a changed-label probe) and the
+oracle (recursive-CTE transitive closure) converge at any diameter;
+this test guards that claim against an independent third
+implementation.
 """
 from __future__ import annotations
 
@@ -85,8 +85,8 @@ def test_components_past_fixed_unroll_chain_fixture(spark, tmp_path):
     """The case VERDICT r3 flagged: a pair graph whose diameter (7)
     exceeds the OLD fixed iteration count (3). The Spark loop now runs
     to the fix-point, so the whole chain must collapse into ONE
-    component labeled with the min doc_id — and the CC_ITERS=8 oracle
-    unroll must agree (checked via the registered oracle SQL on the
+    component labeled with the min doc_id — and the recursive-closure
+    oracle must agree (checked via the registered oracle SQL on the
     same fixture)."""
     import duckdb
 
@@ -110,7 +110,7 @@ def test_components_past_fixed_unroll_chain_fixture(spark, tmp_path):
     )
     ids = [r[0] for r in rows]
     assert pairs == [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)], pairs
-    # diameter 7 > the old CC_ITERS=3 — this fixture exercises rounds 4-7
+    # diameter 7 > the old fixed 3 rounds — exercises propagation rounds 4-7
 
     # 2. fix-point Spark loop collapses the chain to one component
     got = {
