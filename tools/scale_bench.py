@@ -1,18 +1,23 @@
-"""One-decade scaling evidence (VERDICT r3 task 8): time the most
-expensive registry queries on an x1 and an x10 corpus produced by the
-SAME generator (tools/scale_corpus.py) and report the per-query scaling
-exponent alpha where t ~ N^alpha (alpha = log10(t_x10 / t_x1)).
+"""Multi-decade scaling evidence (VERDICT r3 task 8, extended): time
+the most expensive registry queries on x1 / x10 / x100 corpora
+produced by the SAME generator (tools/scale_corpus.py) and report the
+per-decade scaling exponent alpha where t ~ N^alpha
+(alpha = log10(t_next / t_prev) per 10x step).
 
 Candidate-then-verify joins and the level pipeline should be
-near-linear (alpha ~ 1); an alpha near 2 would expose a hidden
-all-pairs join that small-SF correctness runs can't see.
+near-linear (alpha <= ~1); an alpha near 2 would expose a hidden
+all-pairs join that small-SF correctness runs can't see. The second
+decade (x10 -> x100) is the informative one: at x1 -> x10 fixed
+per-job overhead still dominates wall time on local[32].
 
 Each timing is cold: scope-tracked persists are released, the SQL
 cache cleared, and the IVF/corpus-count memos reset between runs, so
-min-of-2 measures a full cold execution at both scales.
+min-of-2 measures a full cold execution at every scale.
 
-Usage: python tools/scale_bench.py [x1_dir x10_dir]   (generates into
-/tmp/cosmoz_scale_{x1,x10} if dirs are omitted), writes SCALE_r04.json.
+Usage: python tools/scale_bench.py [dir:mult ...]
+  default: /tmp/cosmoz_scale_x1:1 /tmp/cosmoz_scale_x10:10
+           /tmp/cosmoz_scale_x100:100
+Writes SCALE_r04.json at the repo root.
 """
 
 from __future__ import annotations
@@ -38,6 +43,12 @@ QUERIES = (
     "x_ann_ivf_topk",
 )
 
+DEFAULT_CORPORA = (
+    ("/tmp/cosmoz_scale_x1", 1),
+    ("/tmp/cosmoz_scale_x10", 10),
+    ("/tmp/cosmoz_scale_x100", 100),
+)
+
 
 def _cold(spark) -> None:
     release_persists()
@@ -58,38 +69,55 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int
 
 
 def main() -> None:
-    if len(sys.argv) > 2:
-        d1, d10 = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 1:
+        corpora = [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1])) for a in sys.argv[1:]]
     else:
-        d1, d10 = "/tmp/cosmoz_scale_x1", "/tmp/cosmoz_scale_x10"
+        corpora = list(DEFAULT_CORPORA)
     spark = build_session(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    for d, mult in ((d1, 1), (d10, 10)):
+    for d, mult in corpora:
         if not os.path.exists(f"{d}/embeddings.parquet"):
             print(f"generating x{mult} corpus at {d} ...", file=sys.stderr)
             generate(spark, d, mult)
 
     out: dict[str, dict] = {}
     for name in QUERIES:
-        t1, r1 = time_query(spark, name, d1)
-        t10, r10 = time_query(spark, name, d10)
-        alpha = round(math.log10(t10 / t1), 3)
+        times, rows = [], []
+        for d, mult in corpora:
+            t, r = time_query(spark, name, d)
+            times.append(t)
+            rows.append(r)
+            print(f"{name:28s} x{mult:<4d} {t:8.2f}s rows={r}", file=sys.stderr)
+        alphas = [
+            round(
+                math.log10(times[i + 1] / times[i])
+                / math.log10(corpora[i + 1][1] / corpora[i][1]),
+                3,
+            )
+            for i in range(len(corpora) - 1)
+        ]
         out[name] = {
-            "t_x1_sec": t1,
-            "t_x10_sec": t10,
-            "rows_x1": r1,
-            "rows_x10": r10,
-            "scaling_exponent": alpha,
+            "t_sec": {f"x{mult}": t for (_, mult), t in zip(corpora, times)},
+            "rows": {f"x{mult}": r for (_, mult), r in zip(corpora, rows)},
+            "scaling_exponent_per_decade": {
+                f"x{corpora[i][1]}->x{corpora[i + 1][1]}": alphas[i]
+                for i in range(len(alphas))
+            },
         }
-        print(f"{name:28s} x1={t1:7.2f}s x10={t10:7.2f}s alpha={alpha}", file=sys.stderr)
 
     result = {
-        "metric": "one_decade_scaling",
-        "corpus": "tools/scale_corpus.py x1 vs x10 (same generator both scales)",
+        "metric": "multi_decade_scaling",
+        "corpus": "tools/scale_corpus.py (same generator at every scale)",
         "policy": "min-of-2 cold (persists released, caches + index memos cleared)",
         "queries": out,
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r04.json"), "w") as f:
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_r04.json",
+        ),
+        "w",
+    ) as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

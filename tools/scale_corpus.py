@@ -26,11 +26,15 @@ BASE_EVENTS = 100_000
 BASE_DOCS = 5_000
 BASE_VECS = 2_000
 
-VOCAB = (
-    "batch part spark line column order small sort fast slow join row "
-    "scan read write group filter map shuffle stage task plan query "
-    "table index merge split cache store stream"
-).split()  # 31 words, matching the driver corpus vocabulary size
+# Vocabulary grows with the corpus (Heaps' law: V ~ sqrt(N)), anchored
+# at the driver corpus's 31 distinct words for the x1 scale. A FIXED
+# vocabulary at growing N is a trap this harness hit at x100: with 31
+# words and 500k docs, SimHash band buckets go pathologically hot and
+# the true near-dup pair count itself grows ~quadratically (measured
+# 23x pairs for 10x docs) — 40 GB of candidate shuffle spill. Real
+# text corpora add vocabulary as they grow; the generator must too, or
+# the "scaling" measurement measures corpus degeneracy instead.
+BASE_VOCAB = 31
 LANGS = ["en", "es", "de", "fr", "zh"]
 EVENT_TYPES = ["view", "click", "error", "purchase", "login"]
 
@@ -61,13 +65,15 @@ def gen_events(spark: SparkSession, n: int) -> DataFrame:
 
 
 def gen_documents(spark: SparkSession, n: int) -> DataFrame:
+    import math
+
+    vocab_size = max(BASE_VOCAB, int(BASE_VOCAB * math.sqrt(n / BASE_DOCS)))
     ids = spark.range(n).withColumnRenamed("id", "doc_id")
     n_toks = (_h("dlen", F.col("doc_id")) % 91 + 10).cast("int")
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
     toks = F.transform(
         F.sequence(F.lit(1), n_toks),
-        lambda i: F.element_at(
-            vocab, (_h("dtok", F.col("doc_id"), i) % len(VOCAB) + 1).cast("int")
+        lambda i: F.concat(
+            F.lit("w"), (_h("dtok", F.col("doc_id"), i) % vocab_size).cast("string")
         ),
     )
     text = F.concat_ws(" ", toks)
