@@ -583,10 +583,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursive closure converges at the same fix-point at any
     # diameter — guarded by the union-find property test and the
     # diameter-7 chain fixture in tests/test_components.py.
+    #
+    # Frontier propagation (Pregel's delta form): only labels that
+    # CHANGED last round can improve a neighbor this round — an
+    # unchanged neighbor's label was already folded into lbl(v) the
+    # round it last changed, and labels are monotone. So the neighbor-
+    # min join reads the frontier, not the full label table; at scale
+    # the tail rounds of a long-diameter graph touch only the still-
+    # moving component fringes instead of re-shuffling every label.
+    frontier = labels
     while True:
         nbr = (
             ed.join(
-                labels.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
+                frontier.select(F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")),
                 "dst",
             )
             .groupBy("src")
@@ -604,6 +613,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.col("chg").cast("long")), F.lit(0))
         ).first()[0]
         labels = new_labels.select("doc_id", "lbl")
+        frontier = new_labels.where("chg").select("doc_id", "lbl")
         if changed == 0:
             break
     return labels.select(
