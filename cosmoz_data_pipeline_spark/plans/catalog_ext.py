@@ -6,8 +6,14 @@ plumbing.
 
 Because the shipped corpus contains no duplicates, dedup queries run
 on a deterministic *augmented* corpus: originals + exact copies
-(doc_id%11==0 → +100000) + near copies with 2 extra tokens
-(doc_id%5==0 → +200000) — built identically in Spark and the oracle.
+(doc_id%11==0 → +OFF) + near copies with 2 extra tokens
+(doc_id%5==0 → +2·OFF) — built identically in Spark and the oracle.
+OFF is the next power of ten above max(doc_id), derived FROM THE DATA
+in both engines: a fixed offset (the round-≤4 design used +100000)
+silently collides with the originals once the corpus outgrows it —
+the x100 scale corpus (500k docs) merged original and copy rows into
+corrupted SimHash signatures and destroyed most exact-copy pairs
+(ADVICE r4, confirmed empirically: non-monotonic pair counts).
 """
 
 from __future__ import annotations
@@ -48,15 +54,40 @@ def _iter_checkpoint(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- corpus
 
+# Copy-id offset = next power of ten above max(doc_id): collision-free
+# at ANY corpus scale (10^digits(max) > max, so originals [0,max],
+# exact copies [off, off+max] and near copies [2·off, 2·off+max] are
+# disjoint). Both engines derive it from the same scan.
 _DOCS_AUG_SQL = """
+d_off AS (SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o
+          FROM documents),
 docs_aug AS (
     SELECT doc_id, text, lang, source FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 11 = 0
+    SELECT doc_id + (SELECT o FROM d_off), text, lang, source
+    FROM documents WHERE doc_id % 11 = 0
     UNION ALL
-    SELECT doc_id + 200000, 'qqstart ' || text || ' qqend', lang, source
+    SELECT doc_id + 2 * (SELECT o FROM d_off), 'qqstart ' || text || ' qqend', lang, source
     FROM documents WHERE doc_id % 5 = 0
 )"""
+
+
+# Offset memo, keyed by (table, corpus dir): corpus metadata like
+# _EMB_AUG_COUNT — one scalar max() per corpus (answered from parquet
+# column stats), then free for every later query in the session.
+_AUG_OFF: dict[tuple[str, str], int] = {}
+
+
+def _aug_offset(spark: SparkSession, sf_dir: str, table: str, id_col: str) -> int:
+    """Next power of ten above max(id) — the Spark mirror of the
+    d_off/e_off oracle CTEs (10^digits(max) in both engines)."""
+    key = (table, sf_dir.rstrip("/"))
+    off = _AUG_OFF.get(key)
+    if off is None:
+        max_id = load_table(spark, sf_dir, table).agg(F.max(id_col)).collect()[0][0]
+        off = 10 ** len(str(int(max_id)))
+        _AUG_OFF[key] = off
+    return off
 
 _TOKS_SQL = r"""
 tk AS (
@@ -74,12 +105,13 @@ sh AS (
 
 
 def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    off = _aug_offset(spark, sf_dir, "documents", "doc_id")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     exact = d.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+        (F.col("doc_id") + off).alias("doc_id"), "text", "lang", "source"
     )
     near = d.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * off).alias("doc_id"),
         F.concat(F.lit("qqstart "), F.col("text"), F.lit(" qqend")).alias("text"),
         "lang",
         "source",
@@ -712,15 +744,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup corpus: the shipped embeddings are mutually near-orthogonal
 # (measured same-label avg cosine 0.002), so — exactly like _docs_aug —
 # near-duplicate queries run on an augmented corpus: originals + exact
-# copies (vec_id%11==0 → +100000) + deterministically perturbed copies
-# (vec_id%5==0 → +200000, component i += ((vec_id*31+i)%7-3)/100,
+# copies (vec_id%11==0 → +OFF) + deterministically perturbed copies
+# (vec_id%5==0 → +2·OFF, component i += ((vec_id*31+i)%7-3)/100,
 # cosine ≈ 0.987 to the original). Built identically in both engines.
+# OFF is data-derived exactly like the documents offset (the fixed
+# +100000 collided with originals from the x100 scale corpus on —
+# 200k vectors — corrupting the published x100 near-dup timings).
 _EMB_AUG_SQL = """
+e_off AS (SELECT CAST(power(10, length(CAST(max(vec_id) AS VARCHAR))) AS BIGINT) AS o
+          FROM e),
 emb_aug AS (
     SELECT vec_id, v FROM e
-    UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 11 = 0
+    UNION ALL SELECT vec_id + (SELECT o FROM e_off), v FROM e WHERE vec_id % 11 = 0
     UNION ALL
-    SELECT vec_id + 200000,
+    SELECT vec_id + 2 * (SELECT o FROM e_off),
            list_transform(generate_series(1, 64),
                           i -> v[i] + ((vec_id * 31 + i) % 7 - 3) * 1e-2)
     FROM e WHERE vec_id % 5 = 0
@@ -754,15 +791,16 @@ def _emb_aug_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    off = _aug_offset(spark, sf_dir, "embeddings", "vec_id")
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     exact = base.where(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+        (F.col("vec_id") + off).alias("vec_id"), "v"
     )
-    # perturb in its own select: listing it beside the +200000 alias
+    # perturb in its own select: listing it beside the +2·off alias
     # would let Spark's lateral-column-alias resolution bind the
-    # lambda's vec_id to the ALIASED id (200000*31 ≡ 2 mod 7 → every
-    # component shifted by +0.02)
+    # lambda's vec_id to the ALIASED id (shifting every component by a
+    # constant)
     near = (
         base.where(F.col("vec_id") % 5 == 0)
         .select(
@@ -773,7 +811,7 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ((F.col("vec_id") * 31 + (i + 1)) % 7 - 3).cast("double") * F.lit(1e-2),
             ).alias("v"),
         )
-        .select((F.col("vec_id") + 200000).alias("vec_id"), "v")
+        .select((F.col("vec_id") + 2 * off).alias("vec_id"), "v")
     )
     return base.unionByName(exact).unionByName(near)
 
