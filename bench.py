@@ -1,13 +1,28 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
-Each query is forced with a count() (no driver-side row materialization
-— we measure engine execution, not Arrow transfer). A warmup run of a
-trivial action first absorbs JVM/codegen startup. Every query runs
-twice and reports the fastest run: we are measuring the engine's
-steady-state plan execution, not JIT warmup or transient host noise.
+Round 5 (VERDICT r4 task 1): the timed set is the FULL registry — a
+query that is correct but untimed has no regression signal, and 21 of
+the 50 r4 queries were exactly that. "value" remains the sum over the
+whole set.
+
+IVF train/search split (VERDICT r4 task 2): `x_ann_ivf_topk` and
+`x_ann_ivf_topk_train` are timed COLD (centroid memo cleared before
+every run — the one-time index-build cost), while
+`x_ann_ivf_topk_search` is timed WARM (the memoized centroid DataFrame
+is rebuilt outside the timer first) — the steady-state per-query cost
+of the train-once/search-many deployment. Round ≤4 bench never cleared
+the memo, so its x_ann_ivf_topk number silently measured the warm path
+after pass 1.
+
+Each query is forced with a count() (no driver-side row
+materialization — we measure engine execution, not Arrow transfer). A
+warmup run of a trivial action first absorbs JVM/codegen startup.
+Every query runs three times and reports the fastest run: we are
+measuring the engine's steady-state plan execution, not JIT warmup or
+transient host noise.
 """
 
 from __future__ import annotations
@@ -20,46 +35,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
+from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 
-# Round 3 broadened the set (VERDICT r2 task 7): every level, the
-# stateful-streaming op, and the round-3 rebuilt candidate-verify /
-# trained-IVF queries, so regressions in those paths show per round.
-# Round 4 added the DEPLOYED shape (VERDICT r3 task 4): the reference's
-# cron path is the incremental-overwrite/stream-dedup/NMDB-fetch chain
-# (reference process_levels.sh:19-20, contrib/docker/docker-compose.yml:149),
-# so st1/st6/s07 — plus j10/a02 — now carry a per-round perf signal.
-HEADLINE = (
-    "s01_scan_pushdown",
-    "a01_pricing_summary",
-    "j01_dim_join_rollup",
-    "j02_fact_fact_join",
-    "w01_lag_delta",
-    "w03_centered_time_avg",
-    "j05_asof_backward_join",
-    "j07_windowed_dedup",
-    "j10_near_duplicate_pairs",
-    "a02_last_star_selector",
-    "st1_incremental_overwrite",
-    "st6_stream_dedup_watermark",
-    "s07_nmdb_fetch_parse",
-    "level1",
-    "level2",
-    "level3",
-    "level4",
-    "st5_stateful_validity",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash_pairs",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_components",
-    "x_decontaminate",
-    "x_embed_cosine_neardup",
-    "x_ann_cosine_topk",
-    "x_ann_ivf_topk",
-    "x_text_langid_quality",
-    "x_text_fingerprint",
-)
+# Timed COLD including the index build; everything else is also cold
+# (caches + corpus-metadata memos cleared) but has no index to build.
+_IVF_COLD = {"x_ann_ivf_topk", "x_ann_ivf_topk_train"}
+# Timed WARM against the memoized centroid table (rebuilt untimed).
+_IVF_WARM = {"x_ann_ivf_topk_search"}
+
+
+def _cold(spark) -> None:
+    """Cold-cache reset: scope-tracked persists, the SQL cache, and the
+    corpus-metadata/index memos (centroids, augmented-corpus counts,
+    copy-id offsets)."""
+    release_persists()
+    spark.catalog.clearCache()
+    catalog_ext._IVF_CENTROIDS.clear()
+    catalog_ext._EMB_AUG_COUNT.clear()
+    catalog_ext._AUG_OFF.clear()
 
 
 def main() -> None:
@@ -71,36 +65,43 @@ def main() -> None:
     # warmup: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    # Measurement policy (changed in round 3 — affects r2→r3 deltas):
-    # clearCache after EVERY query run, so each timing is a cold-cache
-    # execution of the full plan. Round-2 numbers kept per-query
-    # persists alive across passes, so min-of-2 often measured a warm
-    # rerun that skipped the persisted subplan entirely (e.g.
-    # x_dedup_minhash_lsh 1.39s warm vs ~3s cold) — those were not
-    # comparable to a real first execution. min-of-3 now absorbs
-    # host/JIT noise instead.
+    # Measurement policy (since round 3 — r2 numbers were warm-cache
+    # min-of-2, not comparable): cold-cache before EVERY run, min-of-3
+    # absorbs host/JIT noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in HEADLINE:
+        for name in REGISTRY:
             q = REGISTRY[name]
+            _cold(spark)
+            if name in _IVF_WARM:
+                # rebuild the index OUTSIDE the timer, then free the
+                # warm-up's scoped persists/caches — only the
+                # checkpointed centroid blocks survive into the timed
+                # run, exactly the steady-state deployment state
+                REGISTRY["x_ann_ivf_topk_train"].run(spark, sf_dir).count()
+                release_persists()
+                spark.catalog.clearCache()
             t0 = time.time()
             q.run(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-            release_persists()  # free scope-tracked intermediates
-            spark.catalog.clearCache()  # cold-cache policy between runs
+    _cold(spark)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_time",
+                "metric": "all_registry_queries_total_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "policy": "min-of-3, cold cache per run (clearCache between runs; "
-                "r2 numbers were warm-cache min-of-2 — not comparable)",
+                "policy": "min-of-3, cold cache per run (persists, SQL cache and "
+                "index/corpus memos cleared before every run; x_ann_ivf_topk_search "
+                "alone runs against a warm centroid memo rebuilt outside the timer). "
+                "Round <=4 benches timed a 29-query HEADLINE subset and never "
+                "cleared the IVF memo, so their x_ann_ivf_topk was warm after "
+                "pass 1 — r5 cold numbers for it are honestly larger.",
             }
         )
     )

@@ -32,6 +32,19 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def l2sq_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dimension squared L2 distance as an explicit sum of
+    ``getItem`` terms — whole-stage-codegen for the same reason as
+    :func:`dot_unrolled`. Intended for INTEGER (quantized) arrays:
+    every term and the sum are exact in int64, so the result is
+    independent of evaluation order."""
+    out = None
+    for i in range(dim):
+        d = a.getItem(i) - b.getItem(i)
+        out = d * d if out is None else out + d * d
+    return out
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -18,9 +18,19 @@ from . import catalog_streaming  # noqa: E402,F401
 # merges: s03+s06, s04+s05, simhash→simhash_pairs, ivf_assign→
 # ivf_topk, multimodal decode+frames, langid+quality) so the artifact
 # captures 100% — DRIVER_QUERY_BUDGET guards the invariant; if a new
-# query pushes past it, merge or the excess names print at import so
-# the coverage loss is explicit, never silent. Order still front-loads
-# the streaming/source layer so a truncated run covers every §2 layer.
+# query pushes past it, merge, pin it into _TAIL, or the excess names
+# print at import so any coverage loss is explicit, never silent.
+# Order still front-loads the streaming/source layer so a truncated
+# run covers every §2 layer.
+#
+# _TAIL (round 5): the IVF train/search bench-split queries sit PAST
+# the driver budget by design — they are instrumentation views of
+# x_ann_ivf_topk (which IS recorded): _train returns the centroid
+# table the recorded query trains, _search returns the recorded
+# query's exact output. Dropping them from the driver record loses no
+# operator coverage; their oracle parity is still enforced locally by
+# tools/check_all.py and tests/test_oracle_parity.py, and bench.py
+# times the full registry including them.
 DRIVER_QUERY_BUDGET = 50
 _FRONT = [
     "st5_stateful_validity",
@@ -35,12 +45,19 @@ _FRONT = [
     "level4",
     "level4_spec_mode",
 ]
+_TAIL = [
+    "x_ann_ivf_topk_train",
+    "x_ann_ivf_topk_search",
+]
 _ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
-_ordered.update({n: q for n, q in REGISTRY.items() if n not in _ordered})
+_ordered.update(
+    {n: q for n, q in REGISTRY.items() if n not in _ordered and n not in _TAIL}
+)
+_ordered.update({n: REGISTRY[n] for n in _TAIL if n in REGISTRY})
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 
-if len(REGISTRY) > DRIVER_QUERY_BUDGET:  # pragma: no cover
+if len(REGISTRY) > DRIVER_QUERY_BUDGET + len(_TAIL):  # pragma: no cover
     _dropped = list(REGISTRY)[DRIVER_QUERY_BUDGET:]
     import sys
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..sources.tables import load_table
-from .registry import register, scoped_persist
+from .registry import REGISTRY, register, scoped_persist
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -42,12 +42,23 @@ def _iter_checkpoint(df: DataFrame) -> DataFrame:
     localCheckpoint blocks die with their executor (GraphFrames'
     connected-components loop checkpoints durably for the same
     reason). The switch is a session conf so the 100 TB deployment is
-    a config line, not a code fork."""
+    a config line, not a code fork.
+
+    For cleanup of per-superstep snapshots on long-lived sessions,
+    enable ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (reliable checkpoint files are otherwise kept until the app dies —
+    one snapshot per superstep per query accumulates in the dir)."""
     spark = df.sparkSession
     ckdir = spark.conf.get("spark.cosmoz.checkpoint.dir", "")
     if ckdir:
         sc = spark.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        current = sc._jsc.sc().getCheckpointDir()
+        # re-point when unset OR when the conf changed mid-session —
+        # getCheckpointDir returns the dir with a per-app UUID suffix,
+        # so match on the configured prefix, not equality
+        if current.isEmpty() or not current.get().startswith(
+            ckdir.rstrip("/")
+        ):
             sc.setCheckpointDir(ckdir)
         return df.checkpoint()
     return df.localCheckpoint()
@@ -1116,26 +1127,34 @@ def _ivf_sql_ctes() -> str:
 
 
 def _ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qa: array<bigint>): the quantized vector as ONE array
+    column. Round 5 rewrite — this was a posexplode into N×64
+    (vec_id, i, q) rows, which forced every distance computation
+    through a dimension-keyed join (N×K×64 join rows) and an
+    N×K-group partial-agg shuffle: O(N^1.5) shuffle bytes at K=⌊√N⌋,
+    the plan that would have drowned a 100 TB corpus. Keeping the 64
+    dims in-row lets the distance be a single unrolled codegen
+    expression and the assignment shuffle carry N rows, not N×K."""
     e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("vd"))
-        .select("vec_id", F.posexplode("vd").alias("i0", "x"))
-        .select(
-            "vec_id",
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x") * IVF_QUANT).cast("bigint").alias("q"),
-        )
+    v = F.col("embedding").cast("array<double>")
+    qa = F.array(
+        *[F.floor(v.getItem(i) * IVF_QUANT).cast("bigint") for i in range(EMBED_DIM)]
     )
+    return e.select("vec_id", qa.alias("qa"))
 
 
 def _ivf_distances(qv: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """(vec_id, j, d2): exact integer squared distance to each centroid
-    — posexplode'd vectors broadcast-join the tiny centroid table on
-    dimension, partial-agg keyed on vec_id."""
-    return (
-        qv.join(F.broadcast(cent_df), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum((F.col("q") - F.col("w")) * (F.col("q") - F.col("w"))).alias("d2"))
+    """(vec_id, j, d2): exact integer squared distance to each centroid.
+    crossJoin against the BROADCAST K-row centroid table (K=⌊√N⌋ ≈
+    31.6k rows × 64 int64 at N=10⁹ — a few MB) and evaluate the
+    64-term unrolled distance inside whole-stage codegen. The N×K
+    output rows are *generated*, never shuffled: the argmin that
+    always follows folds them map-side (each stream row's K centroid
+    partners are produced consecutively in the same task)."""
+    return qv.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "j",
+        sim.l2sq_unrolled(F.col("qa"), F.col("wa"), EMBED_DIM).alias("d2"),
     )
 
 
@@ -1148,35 +1167,41 @@ def _argmin_cluster(dist: DataFrame) -> DataFrame:
     )
 
 
-# Trained-centroid memo, keyed by (session, corpus dir). An IVF index
-# is built once and amortized over every subsequent search (the faiss
-# train/add/search split); re-deriving the coarse quantizer per query
-# would be like rebuilding a B-tree per lookup. Training is fully
+# Trained-centroid memo, keyed by (applicationId, corpus dir). An IVF
+# index is built once and amortized over every subsequent search (the
+# faiss train/add/search split); re-deriving the coarse quantizer per
+# query would be like rebuilding a B-tree per lookup. Training is fully
 # deterministic (seeded init, fixed iterations, integer arithmetic),
 # so the memo changes cost, never results — the oracle unrolls the
 # identical iterations and still matches on a cold OR warm call. The
-# memoized value is a localCheckpointed (j, i, w) DataFrame — K×dim
-# rows living in executor blocks, never collected to the driver.
-_IVF_CENTROIDS: dict[tuple[int, str], DataFrame] = {}
+# memoized value is a checkpointed (j, warr) DataFrame — K rows living
+# in executor blocks (or reliable storage when
+# spark.cosmoz.checkpoint.dir is set — on a real cluster set it, so a
+# warm memo survives executor loss), never collected to the driver.
+# applicationId (not id(spark)): CPython reuses object ids after GC,
+# so a dead session's memo could leak into a new one.
+_IVF_CENTROIDS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_train(spark: SparkSession, sf_dir: str):
     """Integer Lloyd iterations with the centroid table carried as a
     DataFrame end-to-end (round-4 rebuild of the driver-dict loop: at
-    N=10⁹, K=⌊√N⌋ ≈ 31.6k centroids × 64 dims ≈ 2M rows — too big to
-    funnel through driver Python each iteration, trivial as executor-
-    side blocks). Per iteration: assign the training sample to its
-    argmin centroid (broadcast join), partial-agg the new means, and
-    LEFT-join onto the previous centroids so empty clusters keep their
-    old value — then localCheckpoint to cut the iterative lineage
-    (df.checkpoint() to reliable storage on a real cluster). The only
-    driver-side values are n and k; no centroid row ever leaves the
-    executors. Returns (qv, cent_df); qv is scope-persisted, so its
-    blocks are freed by the caller's next release_persists()."""
+    N=10⁹, K=⌊√N⌋ ≈ 31.6k centroids — too big to funnel through
+    driver Python each iteration, trivial as executor-side blocks).
+    Round 5 carries centroids as (j, wa: array<bigint>) rows — K rows,
+    not K×64 — so each iteration is: broadcast-crossJoin argmin
+    assignment (shuffle = sample size, map-side folded), 64 unrolled
+    per-dimension sum aggregates for the new means, and a LEFT join
+    onto the previous centroids so empty clusters keep their old value
+    — then checkpoint to cut the iterative lineage (reliable when
+    spark.cosmoz.checkpoint.dir is set). The only driver-side values
+    are n and k; no centroid row ever leaves the executors. Returns
+    (qv, cent_df); qv is scope-persisted, so its blocks are freed by
+    the caller's next release_persists()."""
     from math import isqrt
 
     qv = scoped_persist(_ivf_quantized(spark, sf_dir))
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     memo = _IVF_CENTROIDS.get(key)
     if memo is not None:
         return qv, memo
@@ -1199,23 +1224,37 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
         )
     )
     cent_df = _iter_checkpoint(
-        seed.join(qv, "vec_id").select("j", "i", F.col("q").alias("w"))
+        seed.join(qv, "vec_id").select("j", F.col("qa").alias("wa"))
     )
     for _ in range(IVF_ITERS):
         assign = _argmin_cluster(_ivf_distances(qv_train, cent_df))
+        # new mean per cluster: 64 unrolled integer sum aggregates in
+        # one codegen'd hash-agg (same floor(sum/count) arithmetic the
+        # oracle unrolls), reassembled into the centroid array
         upd = (
             assign.join(qv_train, "vec_id")
-            .groupBy("cluster", "i")
-            .agg(F.floor(F.sum("q") / F.count(F.lit(1))).alias("uw"))
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.col("qa").getItem(i)).alias(f"s{i}")
+                    for i in range(EMBED_DIM)
+                ],
+            )
+            .select(
+                "cluster",
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("cnt"))
+                        for i in range(EMBED_DIM)
+                    ]
+                ).alias("uw"),
+            )
         )
         # empty clusters keep their previous centroid
         cent_df = _iter_checkpoint(
-            cent_df.join(
-                upd,
-                (cent_df["j"] == upd["cluster"]) & (cent_df["i"] == upd["i"]),
-                "left",
-            )
-            .select(cent_df["j"], cent_df["i"], F.coalesce("uw", "w").alias("w"))
+            cent_df.join(upd, cent_df["j"] == upd["cluster"], "left")
+            .select(cent_df["j"], F.coalesce("uw", "wa").alias("wa"))
         )
     _IVF_CENTROIDS[key] = cent_df
     return qv, cent_df
@@ -1284,13 +1323,17 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> D
     cost operating curve (tests/test_ivf_recall.py) exercises the
     production path, not a test-only fork."""
     qv, cent_df = _ivf_train(spark, sf_dir)
-    # persist: final distances feed BOTH the corpus assignment and the
-    # per-query probe ranking
-    dist_f = scoped_persist(_ivf_distances(qv, cent_df))
-    assign = _argmin_cluster(dist_f)
+    # Corpus assignment and per-query probe ranking each generate
+    # their own distances from the broadcast centroid table: the
+    # assignment's N×K rows fold map-side into N rows (never
+    # materialized), and the probe side recomputes only the query
+    # subset's Q×K rows (Q = N/100) — cheaper than persisting an
+    # N×K distance table to share (the round-4 shape, which at scale
+    # would cache O(N^1.5) rows).
+    assign = _argmin_cluster(_ivf_distances(qv, cent_df))
     probe_w = Window.partitionBy("vec_id").orderBy("d2", "j")
     probes = (
-        dist_f.where(F.col("vec_id") % 100 == 0)
+        _ivf_distances(qv.where(F.col("vec_id") % 100 == 0), cent_df)
         .select("vec_id", "j", F.row_number().over(probe_w).alias("rk"))
         .where(F.col("rk") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("j").alias("cluster"))
@@ -1316,6 +1359,41 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> D
             6,
         ).alias("cosine"),
     )
+
+
+@register(
+    "x_ann_ivf_topk_train",
+    f"""WITH {_ivf_sql_ctes()}
+SELECT j, i, w FROM cent{IVF_ITERS}""",
+    doc="The TRAIN half of the IVF train-once/search-many split, as its "
+    "own checkable artifact: the Lloyd-trained coarse-quantizer "
+    "centroid table (cluster j, dimension i, quantized weight w), "
+    "verified cell-by-cell against the oracle's unrolled iterations. "
+    "In bench.py this query is timed COLD (memo cleared) — the "
+    "one-time index-build cost a deployment pays — while "
+    "x_ann_ivf_topk_search is timed WARM against the memoized "
+    "centroids, so the steady-state search cost is visible instead of "
+    "buried in the retrain.",
+)
+def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cent_df = _ivf_train(spark, sf_dir)
+    return cent_df.select(
+        F.col("j").cast("long").alias("j"), F.posexplode("wa").alias("i0", "w")
+    ).select("j", (F.col("i0") + 1).cast("long").alias("i"), F.col("w"))
+
+
+@register(
+    "x_ann_ivf_topk_search",
+    REGISTRY["x_ann_ivf_topk"].oracle,
+    doc="The SEARCH half of the IVF split: identical results to "
+    "x_ann_ivf_topk (training is deterministic, so warm-vs-cold can "
+    "only change cost, never output — the oracle is the same SQL), "
+    "but bench.py times it with the centroid memo WARM: probe ranking "
+    "+ cluster-pruned candidate scoring only, the per-query cost a "
+    "steady-state deployment pays after the index is built.",
+)
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_ann_ivf_topk(spark, sf_dir)
 
 
 @register(

@@ -43,3 +43,27 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_budget_records_all_operators():
+    """The driver records only the first DRIVER_QUERY_BUDGET queries.
+    The tail past the budget must contain ONLY the pinned
+    instrumentation views (IVF train/search bench split) whose
+    operator coverage is already carried by a recorded query — any
+    other name in the tail is silent coverage loss."""
+    from cosmoz_data_pipeline_spark.plans import DRIVER_QUERY_BUDGET, _TAIL
+
+    names = list(REGISTRY)
+    assert names[DRIVER_QUERY_BUDGET:] == _TAIL
+    assert "x_ann_ivf_topk" in names[:DRIVER_QUERY_BUDGET]
+
+
+@pytest.mark.parametrize("name", ["x_ann_ivf_topk_train", "x_ann_ivf_topk_search"])
+def test_unrecorded_tail_matches_oracle(spark, sf_dir, duck, name):
+    """The tail queries sit past the driver budget, so the driver's
+    CORRECTNESS artifact never checks them — this test is their
+    oracle gate."""
+    q = REGISTRY[name]
+    assert q.oracle is not None
+    ok, msg = compare(q.run(spark, sf_dir), q.oracle, duck)
+    assert ok, f"{name}: {msg}"
