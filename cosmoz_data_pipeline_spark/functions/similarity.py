@@ -13,19 +13,45 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Left-to-right ``zip_with``/``aggregate`` fold — THE kernel for
+    every data-scaled path. Round-5 finding that reversed the round-3
+    choice: the 64-term unrolled ``getItem`` expression is faster only
+    while the whole fused stage stays inside whole-stage codegen; on
+    the big scoring joins (142 M candidate rows at the x1000 corpus)
+    the stage blows Spark's generated-method limits, falls back to
+    interpreted expression eval, and the 64 GetArrayItem nodes box one
+    Double each per row — measured 433 s vs 43 s for this fold on the
+    identical join. The fold is one ArrayAggregate node looping over
+    the array data, so its cost is stable whether or not the stage
+    compiles. Accumulation order ``((0.0+t1)+t2)+...`` matches the
+    unrolled form and the oracle's list_aggregate, bit for bit."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a ``zip_with``/``aggregate`` fold (see
+    :func:`dot` for why the fold beats an unrolled expression on big
+    stages). Intended for INTEGER (quantized) arrays: every term and
+    the sum are exact in int64, so the result is independent of
+    evaluation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Fixed-dimension dot product as an explicit left-associative sum
-    of ``getItem`` terms. Higher-order-function folds (``aggregate``/
-    ``zip_with``) evaluate INTERPRETED per element; this unrolled form
-    stays inside whole-stage codegen (~10× faster on the ANN scoring
-    join). The accumulation order ``((0.0+t1)+t2)+...`` is identical to
-    the fold's, so results are bit-for-bit equal to :func:`dot`.
-    """
+    of ``getItem`` terms. Faster than :func:`dot` ONLY while the fused
+    stage stays within whole-stage-codegen method limits — true for
+    small plans, false for the large scoring joins (see :func:`dot`),
+    which is why no data-scaled path uses it. Kept for narrow
+    fixed-size expressions (e.g. K-row centroid jobs) where the stage
+    is tiny and compiles. Accumulation order is identical to the
+    fold's, so results are bit-for-bit equal to :func:`dot`."""
     out = F.lit(0.0)
     for i in range(dim):
         out = out + a.getItem(i) * b.getItem(i)
@@ -34,10 +60,10 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 def l2sq_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Fixed-dimension squared L2 distance as an explicit sum of
-    ``getItem`` terms — whole-stage-codegen for the same reason as
-    :func:`dot_unrolled`. Intended for INTEGER (quantized) arrays:
-    every term and the sum are exact in int64, so the result is
-    independent of evaluation order."""
+    ``getItem`` terms — same small-stage-only caveat as
+    :func:`dot_unrolled`; data-scaled paths use :func:`l2sq`. Intended
+    for INTEGER (quantized) arrays: every term and the sum are exact
+    in int64, so the result is independent of evaluation order."""
     out = None
     for i in range(dim):
         d = a.getItem(i) - b.getItem(i)

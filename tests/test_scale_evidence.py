@@ -68,14 +68,9 @@ def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path):
 
 
 def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
-    from cosmoz_data_pipeline_spark.plans.catalog_ext import (
-        _argmin_cluster,
-        _ivf_distances,
-        _ivf_train,
-    )
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import _ivf_train
 
-    qv, cent_df = _ivf_train(spark, sf_dir)
-    assign = _argmin_cluster(_ivf_distances(qv, cent_df))
+    qv, cent_df, k, assign = _ivf_train(spark, sf_dir)
     out = str(tmp_path / "ivf_corpus")
     assign.write.mode("overwrite").partitionBy("cluster").parquet(out)
 
