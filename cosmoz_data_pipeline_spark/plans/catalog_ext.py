@@ -32,7 +32,7 @@ LSH_ROWS = 3
 EMBED_DIM = 64  # embeddings-table vector width (TESTDATA.md)
 
 
-def _iter_checkpoint(df: DataFrame) -> DataFrame:
+def _iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize + truncate lineage for an iterative-loop superstep.
 
     Default is ``localCheckpoint`` (blocks on executors — right for
@@ -43,6 +43,15 @@ def _iter_checkpoint(df: DataFrame) -> DataFrame:
     connected-components loop checkpoints durably for the same
     reason). The switch is a session conf so the 100 TB deployment is
     a config line, not a code fork.
+
+    ``eager=False`` defers materialization to the first downstream
+    action (which still truncates lineage at that point). Right for
+    loops with a FIXED iteration count and no driver-side convergence
+    probe (the IVF Lloyd loop): eager checkpoints there cost one
+    sequential job launch per superstep — pure fixed latency at small
+    scale — whereas the fused lazy chain runs as one job. Loops that
+    probe convergence per round (connected components) keep the eager
+    default; their per-round action forces materialization anyway.
 
     For cleanup of per-superstep snapshots on long-lived sessions,
     enable ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
@@ -60,8 +69,8 @@ def _iter_checkpoint(df: DataFrame) -> DataFrame:
             ckdir.rstrip("/")
         ):
             sc.setCheckpointDir(ckdir)
-        return df.checkpoint()
-    return df.localCheckpoint()
+        return df.checkpoint(eager)
+    return df.localCheckpoint(eager)
 
 # ---------------------------------------------------------------- corpus
 
@@ -1068,6 +1077,17 @@ IVF_QUANT = 1000
 # d2, ties to the lowest id), and the DuckDB oracle mirrors the same
 # two-level rule, so both engines stay bit-identical.
 IVF_GROUP_PROBES = 2
+# Below this K the flat N×K assignment wins: the distance work is
+# trivial in absolute terms while two-level's extra broadcast stages
+# are pure fixed latency (measured ~8 s vs ~2.5 s cold build at
+# sf0.1's K=44 — all overhead, no compute). The same K-threshold is a
+# CASE in the oracle's gg CTE, so both engines flip plans at the same
+# point and stay bit-identical on either side of it. faiss makes the
+# same call: a coarse-assignment structure only pays once K is large.
+# The driver gates (sf0.01/sf0.1, K≤44) exercise the flat branch;
+# tests/test_ivf_twolevel_parity.py runs a K=80 corpus through the
+# full query-vs-oracle compare to pin the two-level branch.
+IVF_TWOLEVEL_MIN_K = 64
 # k-means trains on a bounded deterministic sample (vec_id % m == 0,
 # m = ceil(N / (256·K))) — standard IVF practice (e.g. faiss trains on
 # ~256 points per centroid): training cost is O(256·K²·dim·iters)
@@ -1123,7 +1143,8 @@ def _ivf_sql_ctes() -> str:
     SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * {IVF_QUANT}) AS BIGINT) AS q
     FROM embeddings, generate_series(1, 64) s(i))""",
         """kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings)""",
-        """gg AS (SELECT CAST(floor(sqrt(k)) AS BIGINT) AS g FROM kk)""",
+        f"""gg AS (SELECT CAST(CASE WHEN k < {IVF_TWOLEVEL_MIN_K} THEN 1
+        ELSE floor(sqrt(k)) END AS BIGINT) AS g FROM kk)""",
         f"""mm AS (SELECT (COUNT(*) + {IVF_TRAIN_PER_CENTROID} * kk.k - 1)
         // ({IVF_TRAIN_PER_CENTROID} * kk.k) AS m
     FROM embeddings, kk GROUP BY kk.k)""",
@@ -1213,71 +1234,65 @@ def _argmin_cluster(dist: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_group_assign(cent_df: DataFrame, g: int) -> DataFrame:
-    """(j, gid): each centroid tagged with its nearest rep group.
-    Reps are the centroids j < G — already-trained, spatially spread
-    points, the zero-extra-training choice of coarse quantizer. Every
-    job here is K-sized (K rows × G broadcast reps)."""
-    reps = cent_df.where(F.col("j") < g).select(
-        F.col("j").alias("gid"), F.col("wa").alias("ra")
-    )
-    d = cent_df.crossJoin(F.broadcast(reps)).select(
-        "j", "gid", sim.l2sq_unrolled(F.col("wa"), F.col("ra"), EMBED_DIM).alias("d2")
-    )
-    return (
-        d.groupBy("j")
-        .agg(F.min(F.struct(F.col("d2").alias("d"), F.col("gid").alias("g"))).alias("m"))
-        .select("j", F.col("m.g").alias("gid"))
-    )
-
-
-def _ivf_topg(qv: DataFrame, cent_df: DataFrame, g: int, r: int) -> DataFrame:
-    """(vec_id, qa, gid) — one row per (vector, probed group): each
-    vector's r nearest rep groups. The G reps ride as ONE in-row
-    broadcast array (G = ⌊√K⌋ = N^(1/4) — ~178 rows at N=10⁹), so the
-    top-r selection is a per-row codegen expression (zip_with fold +
-    array_sort on (d2, gid) structs, ascending = deterministic ties to
-    the lowest gid): no window, no shuffle, N rows in → N·r rows out."""
-    reps = cent_df.where(F.col("j") < g).agg(
+def _ivf_reps_row(cent_df: DataFrame, g: int) -> DataFrame:
+    """ONE row holding all G rep centroids (the centroids j < G —
+    already-trained, spatially spread points, the zero-extra-training
+    choice of coarse quantizer) as an array<struct<gid, ra>>. G = ⌊√K⌋
+    = N^(1/4) — ~178 entries at N=10⁹ — so the row broadcasts in KBs
+    and nearest-group selection becomes a per-row expression on
+    whichever side crossJoins it: no shuffle, no window, no extra
+    stage beyond the one broadcast."""
+    return cent_df.where(F.col("j") < g).agg(
         F.collect_list(
             F.struct(F.col("j").alias("gid"), F.col("wa").alias("ra"))
         ).alias("reps")
     )
-    scored = qv.crossJoin(F.broadcast(reps)).select(
-        "vec_id",
-        "qa",
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    F.col("reps"),
-                    lambda rep: F.struct(
-                        sim.l2sq(F.col("qa"), rep["ra"]).alias("d2"),
-                        rep["gid"].alias("gid"),
-                    ),
-                )
-            ),
-            1,
-            r,
-        ).alias("top"),
-    )
-    return scored.select("vec_id", "qa", F.explode(F.col("top.gid")).alias("gid"))
+
+
+def _top_gids(vec: Column, r: int) -> Column:
+    """Expression: the r nearest rep gids for ``vec`` against the
+    in-row ``reps`` array (fold distance + array_sort on (d2, gid)
+    structs, ascending = deterministic ties to the lowest gid)."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("reps"),
+                lambda rep: F.struct(
+                    sim.l2sq(vec, rep["ra"]).alias("d2"),
+                    rep["gid"].alias("gid"),
+                ),
+            )
+        ),
+        1,
+        r,
+    ).getField("gid")
 
 
 def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     """(vec_id, j, d2): exact distances over the two-level candidate
     set — members of each vector's IVF_GROUP_PROBES nearest rep groups
-    only. Broadcast equi-join on gid, so exactly N·R·(K/G) candidate
-    rows are *generated* (vs the flat N×K crossJoin) and the argmin
-    that follows still folds them map-side. Falls back to the flat
-    path when G<=1 (tiny K), where the SQL mirror degenerates to the
-    same all-centroids candidate set."""
+    only. Both sides derive their group membership from the same
+    broadcast single-row reps array as a per-row expression (centroids
+    take their top-1 group, vectors their top-R), so the only
+    non-broadcast operation is the final gid equi-join: exactly
+    N·R·(K/G) candidate rows are *generated* (vs the flat N×K
+    crossJoin) and the argmin that follows still folds them map-side.
+    Falls back to the flat path when G<=1 (tiny K), where the SQL
+    mirror degenerates to the same all-centroids candidate set."""
     from math import isqrt
 
-    g = isqrt(k)
+    g = isqrt(k) if k >= IVF_TWOLEVEL_MIN_K else 1
     if g <= 1:
         return _ivf_distances(qv, cent_df)
-    cg = F.broadcast(cent_df.join(_ivf_group_assign(cent_df, g), "j"))
-    probe = _ivf_topg(qv, cent_df, g, IVF_GROUP_PROBES)
+    reps_row = F.broadcast(_ivf_reps_row(cent_df, g))
+    cg = F.broadcast(
+        cent_df.crossJoin(reps_row).select(
+            "j", "wa", F.element_at(_top_gids(F.col("wa"), 1), 1).alias("gid")
+        )
+    )
+    probe = qv.crossJoin(reps_row).select(
+        "vec_id", "qa", F.explode(_top_gids(F.col("qa"), IVF_GROUP_PROBES)).alias("gid")
+    )
     return probe.join(cg, "gid").select(
         "vec_id",
         "j",
@@ -1352,8 +1367,15 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
             "vec_id",
         )
     )
+    # Lazy checkpoints (eager=False): the Lloyd loop has a FIXED
+    # iteration count and no per-round driver probe, so the whole
+    # seed -> iterate -> add chain fuses into the single eager add job
+    # below instead of one sequential job launch per superstep
+    # (measured: 7.5 s -> ~5 s cold build at sf0.1; pure fixed
+    # latency, invisible at scale). Lineage still truncates at
+    # materialization, so the reuse-across-queries property holds.
     cent_df = _iter_checkpoint(
-        seed.join(qv, "vec_id").select("j", F.col("qa").alias("wa"))
+        seed.join(qv, "vec_id").select("j", F.col("qa").alias("wa")), eager=False
     )
     for _ in range(IVF_ITERS):
         assign = _argmin_cluster(_ivf_candidates(qv_train, cent_df, k))
@@ -1383,7 +1405,8 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
         # empty clusters keep their previous centroid
         cent_df = _iter_checkpoint(
             cent_df.join(upd, cent_df["j"] == upd["cluster"], "left")
-            .select(cent_df["j"], F.coalesce("uw", "wa").alias("wa"))
+            .select(cent_df["j"], F.coalesce("uw", "wa").alias("wa")),
+            eager=False,
         )
     # The "add" phase: assign every vector once, checkpoint the
     # inverted-list table alongside the centroids. This is index
