@@ -1101,9 +1101,11 @@ IVF_TRAIN_PER_CENTROID = 256
 def _ivf_twolevel_sql(s: str, cent: str, vecs: str) -> list[str]:
     """CTE block for one two-level candidate-distance pass (mirrors
     _ivf_candidates): reps are the centroids j < G (G=⌊√K⌋); each
-    centroid joins its nearest rep (cgrp{s}), each vector ranks the
-    reps (vtop{s}) and exact distances dist{s} are computed only
-    against members of the vector's IVF_GROUP_PROBES nearest groups.
+    centroid joins its nearest rep (cgrp{s} — rep centroids j < G are
+    CASE-pinned into their own group j, mirroring _ivf_candidates'
+    non-empty-group guarantee), each vector ranks the reps (vtop{s})
+    and exact distances dist{s} are computed only against members of
+    the vector's IVF_GROUP_PROBES nearest groups.
     With G=1 (tiny K) every centroid lands in group 0 and the
     candidate set degenerates to all of {cent} — identical to flat
     assignment, matching the Spark side's g<=1 fallback."""
@@ -1113,9 +1115,12 @@ def _ivf_twolevel_sql(s: str, cent: str, vecs: str) -> list[str]:
     SELECT c.j, r.gid, sum((c.w - r.w) * (c.w - r.w)) AS d2
     FROM {cent} c JOIN reps{s} r ON c.i = r.i GROUP BY 1, 2)""",
         f"""cgrp{s} AS MATERIALIZED (
-    SELECT d.j, min(d.gid) AS gid FROM cgd{s} d
+    SELECT d.j,
+           CASE WHEN d.j < gg.g THEN d.j ELSE min(d.gid) END AS gid
+    FROM cgd{s} d
     JOIN (SELECT j, min(d2) AS md FROM cgd{s} GROUP BY 1) m
-      ON d.j = m.j AND d.d2 = m.md GROUP BY 1)""",
+      ON d.j = m.j AND d.d2 = m.md
+    CROSS JOIN gg GROUP BY d.j, gg.g)""",
         f"""vgd{s} AS MATERIALIZED (
     SELECT v.vec_id, r.gid, sum((v.q - r.w) * (v.q - r.w)) AS d2
     FROM {vecs} v JOIN reps{s} r ON v.i = r.i GROUP BY 1, 2)""",
@@ -1278,7 +1283,19 @@ def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     N·R·(K/G) candidate rows are *generated* (vs the flat N×K
     crossJoin) and the argmin that follows still folds them map-side.
     Falls back to the flat path when G<=1 (tiny K), where the SQL
-    mirror degenerates to the same all-centroids candidate set."""
+    mirror degenerates to the same all-centroids candidate set.
+
+    A rep centroid (j < G) is pinned into its OWN group j
+    unconditionally rather than ranked like the others: on a
+    duplicate-heavy corpus two reps can share identical quantized
+    coordinates, and the min-gid tie-break would then empty group j —
+    a vector whose IVF_GROUP_PROBES nearest groups were all empty got
+    ZERO candidate rows and silently vanished from the index (round-5
+    advisor finding). Pinning makes every group non-empty by
+    construction, so every vector always draws >= R candidates; in
+    the no-tie case rep j's nearest rep is itself (d2 = 0, strictly
+    minimal), so results are unchanged. The oracle's cgrp CTE applies
+    the identical CASE, keeping the engines bit-identical."""
     from math import isqrt
 
     g = isqrt(k) if k >= IVF_TWOLEVEL_MIN_K else 1
@@ -1287,7 +1304,11 @@ def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     reps_row = F.broadcast(_ivf_reps_row(cent_df, g))
     cg = F.broadcast(
         cent_df.crossJoin(reps_row).select(
-            "j", "wa", F.element_at(_top_gids(F.col("wa"), 1), 1).alias("gid")
+            "j",
+            "wa",
+            F.when(F.col("j") < g, F.col("j"))
+            .otherwise(F.element_at(_top_gids(F.col("wa"), 1), 1))
+            .alias("gid"),
         )
     )
     probe = qv.crossJoin(reps_row).select(
@@ -1367,17 +1388,24 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
             "vec_id",
         )
     )
-    # Lazy checkpoints (eager=False): the Lloyd loop has a FIXED
-    # iteration count and no per-round driver probe, so the whole
-    # seed -> iterate -> add chain fuses into the single eager add job
-    # below instead of one sequential job launch per superstep
-    # (measured: 7.5 s -> ~5 s cold build at sf0.1; pure fixed
-    # latency, invisible at scale). Lineage still truncates at
-    # materialization, so the reuse-across-queries property holds.
+    # Lazy checkpoints (eager=False) for the INTERMEDIATE supersteps:
+    # the Lloyd loop has a FIXED iteration count and no per-round
+    # driver probe, so the seed -> iterate chain fuses into one job
+    # instead of one sequential job launch per superstep (measured:
+    # 7.5 s -> ~5 s cold build at sf0.1; pure fixed latency,
+    # invisible at scale). The FINAL iteration's checkpoint stays
+    # EAGER (round-6 advisor fix): with eager=False and Spark's
+    # default checkpointAllMarkedAncestors=false, the eager add job
+    # below materializes only asg_df's own RDD — the memoized cent_df
+    # would stay marked-but-unmaterialized, recomputing the whole
+    # Lloyd chain on its first direct use (and on executor loss under
+    # the reliable-checkpoint conf). Eager-final costs one extra job
+    # launch over the identical work and makes the handed-out
+    # centroid table genuinely truncated/durable.
     cent_df = _iter_checkpoint(
         seed.join(qv, "vec_id").select("j", F.col("qa").alias("wa")), eager=False
     )
-    for _ in range(IVF_ITERS):
+    for it in range(IVF_ITERS):
         assign = _argmin_cluster(_ivf_candidates(qv_train, cent_df, k))
         # new mean per cluster: 64 unrolled integer sum aggregates in
         # one codegen'd hash-agg (same floor(sum/count) arithmetic the
@@ -1406,7 +1434,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
         cent_df = _iter_checkpoint(
             cent_df.join(upd, cent_df["j"] == upd["cluster"], "left")
             .select(cent_df["j"], F.coalesce("uw", "wa").alias("wa")),
-            eager=False,
+            eager=(it == IVF_ITERS - 1),
         )
     # The "add" phase: assign every vector once, checkpoint the
     # inverted-list table alongside the centroids. This is index
