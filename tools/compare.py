@@ -11,11 +11,19 @@ import pandas as pd
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views over every table present in ``sf_dir``. Tables whose
+    parquet is absent are skipped (scale corpora from
+    tools/scale_corpus.py carry only events/documents/embeddings/
+    nation — queries over missing tables then fail loudly at oracle
+    time, not at connection time)."""
+    import os
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 

@@ -11,10 +11,12 @@ all-pairs join that small-SF correctness runs can't see. The second
 decade (x10 -> x100) is the informative one: at x1 -> x10 fixed
 per-job overhead still dominates wall time on local[32].
 
-x_ann_ivf_topk additionally runs a THIRD decade (x1000, ~2M vectors,
-embeddings-only corpus): that is the first scale where the bounded
-training sample (IVF_TRAIN_PER_CENTROID) actually bites, separating
-train cost from N.
+x_ann_ivf_topk and x_dedup_simhash_pairs additionally run a THIRD
+decade (x1000: ~2M vectors / 5M docs, embeddings+documents corpus).
+For IVF that is the first scale where the bounded training sample
+(IVF_TRAIN_PER_CENTROID) actually bites, separating train cost from
+N; for SimHash it shows the pigeonhole banding surviving another
+Heaps-law vocabulary decade (round 6, VERDICT r5 task 4).
 
 st1_write_path times the incremental-overwrite write stage with the
 day grid of the x1 corpus at every scale (rows per (site, day)
@@ -61,7 +63,7 @@ from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.scale_corpus import BASE_EVENTS, ensure_corpus  # noqa: E402
 
-OUT_NAME = "SCALE_r05.json"
+OUT_NAME = "SCALE_r06.json"
 
 QUERIES = (
     "level4",
@@ -81,10 +83,15 @@ DEFAULT_CORPORA = (
     ("/tmp/cosmoz_scale_x100", 100),
 )
 
-# Third decade for the r4 worst scaler only (embeddings-only corpus —
-# nothing else reads it, and a full x1000 events/documents corpus
-# would dwarf the information gained).
-IVF_X1000 = ("/tmp/cosmoz_scale_x1000", 1000)
+# Third decade for the scalers worth a third decade: the r4 worst
+# scaler (IVF, embeddings) and — round 6, VERDICT r5 task 4 — one
+# banded dedup operator (SimHash, documents), showing the pigeonhole
+# banding holds when the vocabulary grows another Heaps-law decade.
+# The corpus carries only the tables those two read; a full x1000
+# events corpus would dwarf the information gained.
+X1000 = ("/tmp/cosmoz_scale_x1000", 1000)
+X1000_TABLES = ("embeddings", "documents")
+X1000_QUERIES = {"x_ann_ivf_topk", "x_dedup_simhash_pairs"}
 
 _X1_GRID_SPAN_S = (BASE_EVENTS // 8) * 1200  # x1 raw_values span, seconds
 _EPOCH_S = 1609459200  # 2021-01-01 00:00:00 UTC
@@ -161,14 +168,14 @@ def main() -> None:
     for d, mult in corpora:
         if ensure_corpus(spark, d, mult):
             print(f"(re)generated x{mult} corpus at {d}", file=sys.stderr)
-    if ensure_corpus(spark, *IVF_X1000, tables=("embeddings",)):
-        print(f"(re)generated x1000 embeddings corpus at {IVF_X1000[0]}", file=sys.stderr)
+    if ensure_corpus(spark, *X1000, tables=X1000_TABLES):
+        print(f"(re)generated x1000 corpus at {X1000[0]}", file=sys.stderr)
 
     out: dict[str, dict] = {}
     for name in QUERIES:
         q_corpora = list(corpora)
-        if name == "x_ann_ivf_topk":
-            q_corpora.append(IVF_X1000)
+        if name in X1000_QUERIES:
+            q_corpora.append(X1000)
         timer = time_st1_write if name == "st1_write_path" else (
             lambda s, d, _n=name: time_query(s, _n, d)
         )
