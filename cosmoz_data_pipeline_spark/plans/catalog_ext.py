@@ -316,21 +316,57 @@ JOIN sg64 sa ON sa.doc_id = c.doc_a
 JOIN sg64 sb ON sb.doc_id = c.doc_b
 WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     + bit_count(xor(sa.s2, sb.s2)) + bit_count(xor(sa.s3, sb.s3)) <= 3""",
-    doc="SimHash signatures + near-dup pairs with pigeonhole blocking "
-    "(subsumes the former x_dedup_simhash — the 64-bit signature "
-    "computation is verified through the hex_a/hex_b columns): "
-    "Hamming<=3 over a 64-bit signature means at least one of the 4 "
-    "16-bit bands is identical, so candidates come from an EQUI-join "
-    "on (band_idx, band_val) — ~2^16 buckets per band, no all-pairs — "
-    "then the exact Hamming filter keeps true near-dups. The shuffle "
-    "carries only (doc_id, 4 x int16-range ints); signatures persist "
-    "once and feed the band fan-out plus both verify sides.",
+    doc="SimHash signatures + near-dup pairs with MULTI-BLOCK pigeonhole "
+    "blocking (subsumes the former x_dedup_simhash — the 64-bit "
+    "signature computation is verified through the hex_a/hex_b "
+    "columns). Round 6: the r5 blocking keyed candidates on single "
+    "16-bit bands, which is complete for Hamming<=3 but saturates at "
+    "N >> 2^16 — bucket COUNT is fixed, so in-bucket pairs grow ~N^2 "
+    "on ANY corpus once millions of docs share 65k bucket values "
+    "(measured: the x1000 sweep's 5M-doc corpus generated ~5G "
+    "candidate rows and filled the disk with shuffle spill). Now the "
+    "Manku near-duplicate-detection table scheme (Manku, Jain & Das "
+    "Sarma, WWW'07): the 64 bits split into 6 blocks "
+    "(16,16,8,8,8,8); <=3 bit errors touch <=3 blocks, so every true "
+    "pair matches exactly on at least one of the C(6,3)=20 "
+    "3-block-combination keys (24-40 bits each — key WIDTH grows the "
+    "bucket space to 2^24+, which is what restores ~linear candidate "
+    "growth; at larger corpora widen blocks/combos the same way). "
+    "Candidate generation is still one EQUI-join on (band_idx, "
+    "band_val); the exact Hamming verify is unchanged, so the final "
+    "pair set is bit-identical to any complete blocking — the DuckDB "
+    "oracle keeps the simpler 4x16 pigeonhole rule and must agree.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
+    # 6 blocks over the 64 signature bits, built with plain integer
+    # arithmetic on the four 16-bit words (no 64-bit reassembly — that
+    # would overflow signed bigint for s3 >= 2^15)
+    blocks = [
+        (F.col("s0"), 16),
+        (F.col("s1"), 16),
+        (F.col("s2").bitwiseAND(F.lit(255)), 8),
+        (F.shiftright("s2", 8), 8),
+        (F.col("s3").bitwiseAND(F.lit(255)), 8),
+        (F.shiftright("s3", 8), 8),
+    ]
+    combos = [
+        (i, j, k)
+        for i in range(6)
+        for j in range(i + 1, 6)
+        for k in range(j + 1, 6)
+    ]
+    keys = [
+        (
+            blocks[i][0].cast("bigint") * F.lit(1 << (blocks[j][1] + blocks[k][1]))
+            + blocks[j][0].cast("bigint") * F.lit(1 << blocks[k][1])
+            + blocks[k][0].cast("bigint")
+        )
+        for i, j, k in combos
+    ]
     bands = sigs.select(
         "doc_id",
-        F.posexplode(F.array("s0", "s1", "s2", "s3")).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*keys)).alias("band_idx", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -22,8 +22,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dataset directory
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 
