@@ -179,6 +179,11 @@ def main() -> int:
     )
     try:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        # snapshot BEFORE the run (and before this tool overwrites its
+        # own tracked output file): the state that is being measured
+        dirty_files = [
+            ln[3:] for ln in _git("status", "--porcelain").splitlines() if ln
+        ]
         print(f"A = base {base_ref[:10]} (worktree), B = current tree; "
               f"sf_dir={sf_dir}", file=sys.stderr)
         wa, wb = Worker(wt), Worker(REPO)
@@ -206,7 +211,6 @@ def main() -> int:
             cwd=REPO, capture_output=True,
         )
 
-    dirty = bool(_git("status", "--porcelain"))
     result = {
         "metric": "bench_ab_interleaved",
         "unit": "sec",
@@ -220,7 +224,7 @@ def main() -> int:
         },
         "current": {
             "ref": _git("rev-parse", "HEAD"),
-            "dirty_tree": dirty,
+            "dirty_files": dirty_files,
             "value": round(sum(tb.values()), 3),
             "queries": tb,
         },

@@ -11,12 +11,13 @@ all-pairs join that small-SF correctness runs can't see. The second
 decade (x10 -> x100) is the informative one: at x1 -> x10 fixed
 per-job overhead still dominates wall time on local[32].
 
-x_ann_ivf_topk and x_dedup_simhash_pairs additionally run a THIRD
-decade (x1000: ~2M vectors / 5M docs, embeddings+documents corpus).
-For IVF that is the first scale where the bounded training sample
-(IVF_TRAIN_PER_CENTROID) actually bites, separating train cost from
-N; for SimHash it shows the pigeonhole banding surviving another
-Heaps-law vocabulary decade (round 6, VERDICT r5 task 4).
+Every documents/embeddings-only query additionally runs a THIRD
+decade (x1000: ~2M vectors / 5M docs). For IVF that is the first
+scale where the bounded training sample (IVF_TRAIN_PER_CENTROID)
+actually bites, separating train cost from N; for the banded dedup
+operators it is the first scale where N can exceed a fixed blocking
+keyspace — exactly the regime that exposed the r5 SimHash 16-bit
+band saturation (round 6).
 
 st1_write_path times the incremental-overwrite write stage with the
 day grid of the x1 corpus at every scale (rows per (site, day)
@@ -40,8 +41,8 @@ so min-of-2 measures a full cold execution at every scale.
 
 Usage: python tools/scale_bench.py [dir:mult ...]
   default: /tmp/cosmoz_scale_x1:1 /tmp/cosmoz_scale_x10:10
-           /tmp/cosmoz_scale_x100:100   (+ x1000 for IVF only)
-Writes SCALE_r05.json at the repo root.
+           /tmp/cosmoz_scale_x100:100   (+ x1000 for X1000_QUERIES)
+Writes SCALE_r06.json at the repo root.
 """
 
 from __future__ import annotations
@@ -83,15 +84,23 @@ DEFAULT_CORPORA = (
     ("/tmp/cosmoz_scale_x100", 100),
 )
 
-# Third decade for the scalers worth a third decade: the r4 worst
-# scaler (IVF, embeddings) and — round 6, VERDICT r5 task 4 — one
-# banded dedup operator (SimHash, documents), showing the pigeonhole
-# banding holds when the vocabulary grows another Heaps-law decade.
-# The corpus carries only the tables those two read; a full x1000
+# The x1000 corpus carries only documents+embeddings; a full x1000
 # events corpus would dwarf the information gained.
 X1000 = ("/tmp/cosmoz_scale_x1000", 1000)
 X1000_TABLES = ("embeddings", "documents")
-X1000_QUERIES = {"x_ann_ivf_topk", "x_dedup_simhash_pairs"}
+# Every query that reads only documents/embeddings gets the third
+# decade (extended past the initial IVF+SimHash pair once the r6
+# blocking fix made x1000 affordable): each banded candidate
+# generator should be shown at a scale where N >> any fixed keyspace.
+X1000_QUERIES = {
+    "x_ann_ivf_topk",
+    "x_dedup_simhash_pairs",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_decontaminate",
+    "x_embed_cosine_neardup",
+    "x_dedup_components",
+}
 
 _X1_GRID_SPAN_S = (BASE_EVENTS // 8) * 1200  # x1 raw_values span, seconds
 _EPOCH_S = 1609459200  # 2021-01-01 00:00:00 UTC
