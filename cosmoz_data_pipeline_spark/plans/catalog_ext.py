@@ -653,14 +653,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint truncates the plan itself; on a cluster this is
     # df.checkpoint() to reliable storage (GraphFrames checkpoints its
     # connected-components loop the same way).
+    # raw persist (not scoped_persist) ON PURPOSE: pairs is consumed
+    # twice by the very next statement and then dead — releasing it
+    # immediately beats holding the blocks until the query-end
+    # release_persists(); try/finally so an error inside the
+    # checkpoint cannot leak the blocks past the query
     pairs = (
         q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
-    ed = _iter_checkpoint(  # eager: materializes pairs -> ed now
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-    )
-    pairs.unpersist()
+    try:
+        ed = _iter_checkpoint(  # eager: materializes pairs -> ed now
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+            .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        )
+    finally:
+        pairs.unpersist()
     labels = _iter_checkpoint(
         ed.select(F.col("src").alias("doc_id"))
         .distinct()

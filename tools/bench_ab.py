@@ -182,7 +182,7 @@ def main() -> int:
         # snapshot BEFORE the run (and before this tool overwrites its
         # own tracked output file): the state that is being measured
         dirty_files = [
-            ln[3:] for ln in _git("status", "--porcelain").splitlines() if ln
+            ln[2:].lstrip() for ln in _git("status", "--porcelain").splitlines() if ln
         ]
         print(f"A = base {base_ref[:10]} (worktree), B = current tree; "
               f"sf_dir={sf_dir}", file=sys.stderr)
