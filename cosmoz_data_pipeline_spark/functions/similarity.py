@@ -139,18 +139,33 @@ def srp_weight(plane: int, dim_i: int) -> int:
     return h % SRP_MOD - SRP_HALF
 
 
-def srp_weights_df(spark, bands: int, planes_per_band: int, dim: int):
-    """Tiny broadcastable weight table: one row per (plane, dimension).
-    ``bitval`` is precomputed (1 << bit-within-band) so the bucket
-    assembly is a plain conditional SUM — no variable-shift expression.
-    """
-    rows = [
-        (p, p // planes_per_band, 1 << (p % planes_per_band), i, srp_weight(p, i))
-        for p in range(bands * planes_per_band)
-        for i in range(1, dim + 1)
+def srp_weights_row(spark, bands: int, planes_per_band: int, dim: int):
+    """ONE broadcastable row: ``srp_bands`` = array of per-band structs,
+    each holding its planes as (bitval, warr) with ``bitval``
+    precomputed (1 << bit-within-band) and ``warr`` the dim md5
+    weights — bands×planes×dim int64s, a few KB. A 1-row table
+    crossJoined under broadcast, NOT a literal expression tree: the
+    ~10k-node nested CreateArray/CreateStruct literal is not
+    constant-folded by Catalyst and re-evaluates per input row
+    (measured +40%% on the x100 corpus and +6 s fixed per plan), while
+    the broadcast row binds the bank once per task."""
+    row = [
+        (
+            b,
+            [
+                (
+                    1 << (p % planes_per_band),
+                    [srp_weight(p, i) for i in range(1, dim + 1)],
+                )
+                for p in range(b * planes_per_band, (b + 1) * planes_per_band)
+            ],
+        )
+        for b in range(bands)
     ]
     return spark.createDataFrame(
-        rows, "plane int, band int, bitval long, i int, w long"
+        [(row,)],
+        "srp_bands array<struct<band:int,"
+        "planes:array<struct<bitval:bigint,warr:array<bigint>>>>>",
     )
 
 
@@ -158,30 +173,59 @@ def srp_band_buckets(
     vec_df, spark, bands: int, planes_per_band: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "v",
 ):
-    """(id, band, bucket) SRP assignments: posexplode the vector, join
-    the broadcast weight table on dimension, partial-agg the integer
-    projections per plane, then assemble each band's bucket as a
-    conditional bit sum. Two shuffles, both keyed on the id — the
-    relational shape that survives 100 TB (vs unrolling bands×planes×dim
-    literal terms into one projection, which breaks codegen limits)."""
-    qv = vec_df.select(id_col, F.posexplode(vec_col).alias("i0", "x")).select(
-        id_col,
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x") * SRP_QUANT).cast("bigint").alias("q"),
+    """(id, band, bucket) SRP assignments as ONE in-row fold per
+    (vector, band) against the broadcast single-row weight literal
+    (round-6 rebuild): each plane's integer projection is a
+    zip_with/aggregate dot over the quantized vector, its sign
+    contributes ``bitval`` to the band's bucket, and the only rows
+    that ever exist are the ``bands`` output rows per vector — no dim
+    posexplode, no (id, plane) shuffle, no partial aggs. The previous
+    relational shape (posexplode dims → broadcast weight join → two
+    id-keyed aggs) was right that unrolling bands×planes×dim literal
+    TERMS breaks codegen, but it generated N×P×D join rows and
+    shuffled N×P projections — at the x1000 corpus (5.2 M augmented
+    vectors × 160 planes × 64 dims ≈ 5×10¹⁰ join rows) it died
+    spilling 70+ GB. The fold performs the identical integer
+    arithmetic with zero intermediate rows (integer sums are
+    order-independent, so the DuckDB oracle CTEs are untouched and
+    parity stays exact), and it cannot fall off the codegen cliff
+    because it never unrolls — the same round-5 fold-kernel lesson as
+    sim.dot/cosine/l2sq. The band structs are EXPLODED FIRST (an
+    attribute of the broadcast weight row, never a computed array, so
+    nothing is re-evaluated per output row), then each output row
+    folds only its own band's planes — total work is unchanged. The
+    1-row crossJoin plans as a BroadcastNestedLoopJoin; the plan
+    assertions allow that ONLY for this single-row weight-bank shape
+    (same as the IVF reps row) — candidates still come from the
+    equi-join on (band, bucket)."""
+    wrow = srp_weights_row(spark, bands, planes_per_band, dim)
+    qa = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * SRP_QUANT).cast("bigint")
     )
-    wdf = F.broadcast(srp_weights_df(spark, bands, planes_per_band, dim))
-    proj = (
-        qv.join(wdf, "i")
-        .groupBy(id_col, "plane", "band", "bitval")
-        .agg(F.sum(F.col("q") * F.col("w")).alias("s"))
+
+    def idot(w):
+        return F.aggregate(
+            F.zip_with(qa, w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    bucket = F.aggregate(
+        F.col("bd.planes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, pl: acc
+        + F.when(idot(pl["warr"]) > 0, pl["bitval"]).otherwise(
+            F.lit(0).cast("bigint")
+        ),
     )
     return (
-        proj.select(
-            id_col, "band",
-            F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0)).alias("bit"),
+        vec_df.crossJoin(F.broadcast(wrow))
+        .select(id_col, vec_col, F.explode("srp_bands").alias("bd"))
+        .select(
+            id_col,
+            F.col("bd.band").alias("band"),
+            bucket.alias("bucket"),
         )
-        .groupBy(id_col, "band")
-        .agg(F.sum("bit").alias("bucket"))
     )
 
 

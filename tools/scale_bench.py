@@ -168,10 +168,25 @@ def time_st1_write(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
 
 
 def main() -> None:
-    if len(sys.argv) > 1:
-        corpora = [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1])) for a in sys.argv[1:]]
-    else:
-        corpora = list(DEFAULT_CORPORA)
+    # args: either dir:mult corpus overrides, or bare query names to
+    # run a SUBSET (results MERGE into the existing OUT_NAME file, so
+    # a long sweep can be split into resumable pieces)
+    corpora_args = [a for a in sys.argv[1:] if ":" in a]
+    only = {a for a in sys.argv[1:] if ":" not in a}
+    corpora = (
+        [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1])) for a in corpora_args]
+        if corpora_args
+        else list(DEFAULT_CORPORA)
+    )
+    # Size the JVM for the x1000 decade (the spill-aware knob from the
+    # README's scale contract): the default 24g session OOMed
+    # (UNABLE_TO_ACQUIRE_MEMORY) in the 680M-row MinHash shingle
+    # aggregation at 13M docs — 32 concurrent tasks contending for
+    # ~14g of execution memory. A 1000-executor cluster sizes
+    # executor memory to its partition volume; the single-JVM sweep
+    # must do the same (the box has 128 GiB; the driver-gate and
+    # bench sessions stay at their own defaults).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = build_session(app_name="scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     for d, mult in corpora:
@@ -182,6 +197,8 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         q_corpora = list(corpora)
         if name in X1000_QUERIES:
             q_corpora.append(X1000)
@@ -211,6 +228,14 @@ def main() -> None:
             },
         }
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
+    )
+    if only and os.path.exists(out_path):  # merge a partial run
+        with open(out_path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(out)
+        out = {k: prev[k] for k in QUERIES if k in prev}
     result = {
         "metric": "multi_decade_scaling",
         "corpus": "tools/scale_corpus.py (same generator at every scale; "
@@ -220,12 +245,7 @@ def main() -> None:
         "the x1 span so decades scale rows-per-partition, not directory count",
         "queries": out,
     }
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
-        ),
-        "w",
-    ) as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
