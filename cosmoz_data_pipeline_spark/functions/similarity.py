@@ -30,6 +30,47 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def idot(a: Column, b: Column) -> Column:
+    """Integer dot product fold over quantized vectors: every element
+    is cast to bigint BEFORE the multiply (int32 storage would overflow
+    at (4e5)^2 ≈ 1.6e11) and every product is ``coalesce``d to 0 so a
+    null element, or the null padding ``zip_with`` emits for a vector
+    shorter than its partner, contributes nothing — the same
+    null-skipping a SQL SUM does, keeping ragged/null inputs in parity
+    with the oracle (ADVICE r6). With |q| <= ~4.3e5 and dims <= 64 the
+    partial sums stay < 2^53, so the result is EXACT in int64 and in
+    float64, independent of accumulation order."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.coalesce(
+                x.cast("bigint") * y.cast("bigint"), F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def quantize(v: Column) -> Column:
+    """floor(v * 1e6) as array<int> — the SRP quantization grid, stored
+    at int32 width (|v| <= ~0.43 in every corpus, so |q| <= ~4.3e5 fits
+    with 3 orders of margin). Carrying the int32 array instead of the
+    float64 one through a verify join halves the shuffled vector
+    payload; all arithmetic on it runs through :func:`idot`, which
+    widens to int64 per term."""
+    return F.transform(v, lambda x: F.floor(x * SRP_QUANT).cast("int"))
+
+
+def qnorm(qv: Column) -> Column:
+    """L2 norm of a quantized vector: sqrt of the EXACT integer
+    self-dot. The int64 sum is exactly representable in float64
+    (< 2^53) and IEEE sqrt is correctly rounded, so the double result
+    is engine-independent."""
+    return F.sqrt(idot(qv, qv).cast("double"))
+
+
 def l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance as a ``zip_with``/``aggregate`` fold (see
     :func:`dot` for why the fold beats an unrolled expression on big
@@ -172,6 +213,7 @@ def srp_weights_row(spark, bands: int, planes_per_band: int, dim: int):
 def srp_band_buckets(
     vec_df, spark, bands: int, planes_per_band: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "v",
+    quantized: bool = False,
 ):
     """(id, band, bucket) SRP assignments as ONE in-row fold per
     (vector, band) against the broadcast single-row weight literal
@@ -197,24 +239,24 @@ def srp_band_buckets(
     1-row crossJoin plans as a BroadcastNestedLoopJoin; the plan
     assertions allow that ONLY for this single-row weight-bank shape
     (same as the IVF reps row) — candidates still come from the
-    equi-join on (band, bucket)."""
-    wrow = srp_weights_row(spark, bands, planes_per_band, dim)
-    qa = F.transform(
-        F.col(vec_col), lambda x: F.floor(x * SRP_QUANT).cast("bigint")
-    )
+    equi-join on (band, bucket).
 
-    def idot(w):
-        return F.aggregate(
-            F.zip_with(qa, w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        )
+    ``quantized=True`` means ``vec_col`` already holds the
+    floor(v*1e6) integer array (see :func:`quantize`) — the caller
+    computed it once and persists the narrow form; the fold skips the
+    re-quantization. Products coalesce null to 0 (module
+    :func:`idot`), so ragged/null elements null-skip exactly like the
+    oracle's SUM (ADVICE r6); a fully-null/empty vector folds to
+    bucket 0, which is also what the oracle's generate_series CTEs
+    emit for it."""
+    wrow = srp_weights_row(spark, bands, planes_per_band, dim)
+    qa = F.col(vec_col) if quantized else quantize(F.col(vec_col))
 
     bucket = F.aggregate(
         F.col("bd.planes"),
         F.lit(0).cast("bigint"),
         lambda acc, pl: acc
-        + F.when(idot(pl["warr"]) > 0, pl["bitval"]).otherwise(
+        + F.when(idot(qa, pl["warr"]) > 0, pl["bitval"]).otherwise(
             F.lit(0).cast("bigint")
         ),
     )

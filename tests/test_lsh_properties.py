@@ -111,3 +111,54 @@ def test_banded_range_join_two_bucket_probe_never_misses(lt, delta, band):
     lband = lt // band
     rband = rt // band
     assert rband in (lband - 1, lband)
+
+
+def test_srp_fold_null_skips_ragged_vectors(spark):
+    """ADVICE r6: a null element or a vector shorter than the plane
+    width must contribute 0 to the projection (SQL-SUM null-skipping),
+    not poison the whole dot to NULL; a null/empty vector folds to
+    bucket 0 (what the oracle's generate_series CTEs emit for it).
+    Expected buckets computed independently in plain Python over the
+    same md5 weights with explicit null-skipping."""
+    from cosmoz_data_pipeline_spark.functions.similarity import (
+        SRP_QUANT,
+        srp_band_buckets,
+        srp_weight,
+    )
+
+    dim, planes = 8, 4
+    vecs = {
+        1: [0.1, -0.2, 0.3, -0.1, 0.25, -0.35, 0.05, 0.15],  # full
+        2: [0.1, None, 0.3, -0.1, None, -0.35, 0.05, 0.15],  # null elems
+        3: [0.1, -0.2, 0.3],                                 # short
+        4: None,                                             # null vector
+        5: [],                                               # empty
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, v array<double>"
+    )
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in srp_band_buckets(df, spark, 1, planes, dim).collect()
+    }
+
+    import math
+
+    def expect(v):
+        if not v:
+            return 0
+        q = [None if x is None else math.floor(x * SRP_QUANT) for x in v]
+        b = 0
+        for p in range(planes):
+            s = sum(
+                qi * srp_weight(p, i + 1)
+                for i, qi in enumerate(q)
+                if qi is not None
+            )
+            if s > 0:
+                b |= 1 << p
+        return b
+
+    assert set(got) == set(vecs)
+    for k, v in vecs.items():
+        assert got[k] == expect(v), f"vec {k}: {got[k]} != {expect(v)}"

@@ -114,6 +114,17 @@ def test_neardup_queries_have_no_unblocked_self_join(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_lsh_buckets_bnlj_is_only_the_weight_row_bind(spark, sf_dir):
+    # x_ann_lsh_buckets binds the SRP weight bank by crossJoining ONE
+    # broadcast row (ADVICE r6): exactly that single
+    # BroadcastNestedLoopJoin is sanctioned — a future regression that
+    # turns the constant bind into a real pair join would add more, or
+    # a CartesianProduct
+    plan = _plan(spark, sf_dir, "x_ann_lsh_buckets")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
 def test_neardup_verify_reads_persisted_tables(spark, sf_dir):
     # the per-doc/per-vector table must be computed ONCE and reused by
     # the band fan-out plus both verify sides
