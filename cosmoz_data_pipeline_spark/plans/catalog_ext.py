@@ -145,6 +145,70 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- dedup
 
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) word-3-gram rows via the codegen explode+lead
+    path (shared by MinHash and Jaccard — one definition so the scale
+    sweep's shingle count audits both): posexplode tokens →
+    lead()-window 3-grams; <3-token docs emit one whole-text shingle
+    at pos 0. The token array is materialized in its own projection
+    BEFORE the posexplode — a Generate over a non-attribute child
+    re-evaluates the regex split per OUTPUT row (measured 2.3×)."""
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    seqw = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
+    shingle = (
+        F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
+        .when(F.col("pos") == 0, F.concat_ws(" ", "tok", t1))
+    )
+    return toked.select("doc_id", shingle.alias("shingle")).where(
+        F.col("shingle").isNotNull()
+    )
+
+
+def _shingle_h() -> F.Column:
+    """int64 shingle hash (md5 prefix — identical in both engines).
+    Built lazily: classic PySpark cannot construct Columns before a
+    SparkContext exists, so this must not run at import time."""
+    return F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+
+
+def _minhash_aggs() -> list:
+    """The 12 MinHash aggregate expressions over a column ``h`` of
+    shingle hashes (lazy for the same import-time reason)."""
+    return [
+        F.min(
+            (
+                F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i) * F.col("h")
+                + F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
+            )
+            % F.lit(tx.MINHASH_P)
+        ).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def _minhash_band_cands(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from the 4×3 LSH
+    banding of a (doc_id, sig) table — the one candidate generator
+    behind BOTH x_dedup_minhash_lsh and x_dedup_ngram_jaccard (same
+    signatures, same banding ⇒ identical candidate sets)."""
+    bands = sigs.select(
+        "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
+    ).select("doc_id", F.explode("bk").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "x_dedup_exact",
     f"""WITH {_DOCS_AUG_SQL.lstrip()}
@@ -198,57 +262,25 @@ JOIN sg sb ON sb.doc_id = c.doc_b""",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    # Signatures fully inside whole-stage codegen: posexplode tokens →
-    # lead()-window 3-gram shingles → builtin md5/arithmetic →
-    # groupBy-min. (An array-lambda transform() for the shingles runs
-    # INTERPRETED — measured ~4 s for 338 k shingles at sf0.1 vs <1 s
-    # this way.) The lead window partitions by doc_id, which the
-    # min-agg groupBy reuses — one shuffle total. MinHash's min is
-    # insensitive to duplicate shingles, so the oracle's
-    # list_distinct needs no mirror here. persist: the signature
-    # table feeds three plan branches (banding + both candidate-join
-    # sides).
-    # materialize the token array in its own projection BEFORE the
-    # posexplode: a Generate over a non-attribute child re-evaluates
-    # the regex split per OUTPUT row (measured 2.3× on this stage)
-    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
-    seqw = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
-    shingle = (
-        F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
-        # <3-token doc: single whole-text shingle, emitted at pos 0
-        .when(F.col("pos") == 0, F.concat_ws(" ", "tok", t1))
-    )
-    sh = toked.select("doc_id", shingle.alias("shingle")).where(
-        F.col("shingle").isNotNull()
-    )
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
-    mins = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.min(
-                (
-                    F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i) * F.col("h")
-                    + F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
-                )
-                % F.lit(tx.MINHASH_P)
-            ).alias(f"m{i}")
-            for i in range(MINHASH_K)
-        ]
+    # Signatures fully inside whole-stage codegen: _shingle_rows
+    # (posexplode + lead-window 3-grams — an array-lambda transform()
+    # runs INTERPRETED, measured ~4 s vs <1 s at sf0.1) → builtin
+    # md5/arithmetic → groupBy-min. The lead window partitions by
+    # doc_id, which the min-agg groupBy reuses — one shuffle total.
+    # MinHash's min is insensitive to duplicate shingles, so the
+    # oracle's list_distinct needs no mirror here. persist: the
+    # signature table feeds three plan branches (banding + both
+    # candidate-join sides).
+    sh = _shingle_rows(docs)
+    mins = (
+        sh.select("doc_id", _shingle_h().alias("h"))
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
     )
     sigs = scoped_persist(mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
     ))
-    bands = sigs.select(
-        "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
-    ).select("doc_id", F.explode("bk").alias("band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _minhash_band_cands(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     return (
@@ -290,6 +322,53 @@ cs AS (
 sg64 AS (
     SELECT doc_id, {bands}
     FROM cs)"""
+
+
+def _simhash_combo_cands(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates from the Manku WWW'07
+    multi-block blocking over a (doc_id, s0..s3) SimHash table: 6
+    blocks over the 64 signature bits, C(6,3)=20 three-block combo
+    keys (24-40 bits), one equi-join on (band_idx, band_val). Blocks
+    are built with plain integer arithmetic on the four 16-bit words
+    (no 64-bit reassembly — that would overflow signed bigint for
+    s3 >= 2^15)."""
+    blocks = [
+        (F.col("s0"), 16),
+        (F.col("s1"), 16),
+        (F.col("s2").bitwiseAND(F.lit(255)), 8),
+        (F.shiftright("s2", 8), 8),
+        (F.col("s3").bitwiseAND(F.lit(255)), 8),
+        (F.shiftright("s3", 8), 8),
+    ]
+    combos = [
+        (i, j, k)
+        for i in range(6)
+        for j in range(i + 1, 6)
+        for k in range(j + 1, 6)
+    ]
+    keys = [
+        (
+            blocks[i][0].cast("bigint") * F.lit(1 << (blocks[j][1] + blocks[k][1]))
+            + blocks[j][0].cast("bigint") * F.lit(1 << blocks[k][1])
+            + blocks[k][0].cast("bigint")
+        )
+        for i, j, k in combos
+    ]
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*keys)).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 @register(
@@ -339,46 +418,7 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
-    # 6 blocks over the 64 signature bits, built with plain integer
-    # arithmetic on the four 16-bit words (no 64-bit reassembly — that
-    # would overflow signed bigint for s3 >= 2^15)
-    blocks = [
-        (F.col("s0"), 16),
-        (F.col("s1"), 16),
-        (F.col("s2").bitwiseAND(F.lit(255)), 8),
-        (F.shiftright("s2", 8), 8),
-        (F.col("s3").bitwiseAND(F.lit(255)), 8),
-        (F.shiftright("s3", 8), 8),
-    ]
-    combos = [
-        (i, j, k)
-        for i in range(6)
-        for j in range(i + 1, 6)
-        for k in range(j + 1, 6)
-    ]
-    keys = [
-        (
-            blocks[i][0].cast("bigint") * F.lit(1 << (blocks[j][1] + blocks[k][1]))
-            + blocks[j][0].cast("bigint") * F.lit(1 << blocks[k][1])
-            + blocks[k][0].cast("bigint")
-        )
-        for i, j, k in combos
-    ]
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*keys)).alias("band_idx", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _simhash_combo_cands(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"sa{k}") for k in range(4)],
@@ -447,52 +487,20 @@ WHERE len(list_intersect(a.shingles, b.shingles))
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    # shingle rows via the codegen explode+lead path (see
-    # q_dedup_minhash); ONE groupBy(doc_id) produces both the MinHash
-    # signature and the exact-verify shingle set
-    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
-    seqw = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
-    shingle = (
-        F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
-        .when(F.col("pos") == 0, F.concat_ws(" ", "tok", t1))
-    )
-    sh = toked.select("doc_id", shingle.alias("shingle")).where(
-        F.col("shingle").isNotNull()
-    )
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    # shingle rows via the shared codegen explode+lead path; ONE
+    # groupBy(doc_id) produces both the MinHash signature and the
+    # exact-verify shingle set
+    sh = _shingle_rows(docs)
     per_doc = (
-        sh.select("doc_id", "shingle", h.alias("h"))
+        sh.select("doc_id", "shingle", _shingle_h().alias("h"))
         .groupBy("doc_id")
-        .agg(
-            F.collect_set("shingle").alias("sh_set"),
-            *[
-                F.min(
-                    (
-                        F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i) * F.col("h")
-                        + F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
-                    )
-                    % F.lit(tx.MINHASH_P)
-                ).alias(f"m{i}")
-                for i in range(MINHASH_K)
-            ],
-        )
+        .agg(F.collect_set("shingle").alias("sh_set"), *_minhash_aggs())
         .select(
             "doc_id", "sh_set", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
         )
     )
     per_doc = scoped_persist(per_doc)
-    bands = per_doc.select(
-        "doc_id", tx.lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS).alias("bk")
-    ).select("doc_id", F.explode("bk").alias("band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _minhash_band_cands(per_doc)
     sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     jac = tx.jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -510,6 +518,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eval inverted index is broadcast.
 DECON_EVAL_SOURCE = "src0"
 DECON_FRAC = 5e-2
+
+
+def _decon_sides(spark: SparkSession, sf_dir: str):
+    """(train inverted rows, eval inverted rows) for x_decontaminate —
+    split out so the scale sweep can count both sides and the pre-agg
+    match rows as stage metrics through the exact query code path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "source", F.posexplode("toks").alias("pos", "tok"))
+    seqw = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
+    g = F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
+    h = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    per_doc = (
+        toked.select("doc_id", "source", h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .groupBy("doc_id", "source")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    tr = per_doc.where(F.col("source") != DECON_EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc"),
+        F.size("hs").cast("long").alias("n_train_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    ev = per_doc.where(F.col("source") == DECON_EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"), F.explode("hs").alias("h")
+    )
+    return tr, ev
 
 
 @register(
@@ -545,28 +582,7 @@ GROUP BY 1, 2, 3""",
     "contamination flag at {:.0%}.".format(DECON_FRAC),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
-    ).select("doc_id", "source", F.posexplode("toks").alias("pos", "tok"))
-    seqw = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
-    g = F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
-    h = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-    per_doc = (
-        toked.select("doc_id", "source", h.alias("h"))
-        .where(F.col("h").isNotNull())
-        .groupBy("doc_id", "source")
-        .agg(F.collect_set("h").alias("hs"))
-    )
-    tr = per_doc.where(F.col("source") != DECON_EVAL_SOURCE).select(
-        F.col("doc_id").alias("train_doc"),
-        F.size("hs").cast("long").alias("n_train_shingles"),
-        F.explode("hs").alias("h"),
-    )
-    ev = per_doc.where(F.col("source") == DECON_EVAL_SOURCE).select(
-        F.col("doc_id").alias("eval_doc"), F.explode("hs").alias("h")
-    )
+    tr, ev = _decon_sides(spark, sf_dir)
     frac = F.round(F.col("n_shared") / F.col("n_train_shingles").cast("double"), 6)
     return (
         tr.join(F.broadcast(ev), "h")
@@ -1791,3 +1807,50 @@ def q_multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes long, header_byte long, mode string, "
         "width long, frame_idx long, frame_byte long",
     )
+
+
+# -------------------------------------------------- scale-sweep probes
+#
+# Intermediate-stage counts for the multi-decade scaling evidence
+# (VERDICT r6 task 2): the alpha ~= 1 explanations for the banded
+# dedup operators cite candidate and shingle growth — these probes
+# make those numbers part of the SCALE_r{N}.json artifact instead of
+# README prose. Each probe re-derives the intermediate through the
+# SAME builder the registered query runs (extracted above), outside
+# the timed runs. Derivable stages are not re-counted:
+# x_dedup_minhash_lsh's candidate pairs ARE its output rows (no
+# verify filter), x_dedup_ngram_jaccard's candidates equal
+# x_dedup_minhash_lsh's rows (identical signatures and banding), and
+# x_dedup_components' edge count is 2x x_dedup_simhash_pairs' rows.
+
+def _probe_minhash(spark: SparkSession, sf_dir: str) -> dict:
+    sh = _shingle_rows(_docs_aug(spark, sf_dir))
+    return {"shingle_rows": sh.count()}
+
+
+def _probe_simhash(spark: SparkSession, sf_dir: str) -> dict:
+    sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
+    return {"candidate_pairs": _simhash_combo_cands(sigs).count()}
+
+
+def _probe_neardup(spark: SparkSession, sf_dir: str) -> dict:
+    _, cand = _neardup_cands(spark, sf_dir)
+    return {"candidate_pairs": cand.count()}
+
+
+def _probe_decontaminate(spark: SparkSession, sf_dir: str) -> dict:
+    tr, ev = _decon_sides(spark, sf_dir)
+    tr = scoped_persist(tr)
+    return {
+        "train_shingle_rows": tr.count(),
+        "eval_index_rows": ev.count(),
+        "matched_rows_preagg": tr.join(F.broadcast(ev), "h").count(),
+    }
+
+
+STAGE_PROBES = {
+    "x_dedup_minhash_lsh": _probe_minhash,
+    "x_dedup_simhash_pairs": _probe_simhash,
+    "x_embed_cosine_neardup": _probe_neardup,
+    "x_decontaminate": _probe_decontaminate,
+}

@@ -31,6 +31,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = APP_NAME,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
     if master is None:
@@ -66,6 +67,10 @@ def build_session(
     # Env-settable so the unchanged check_all/bench entrypoints can be
     # exercised end-to-end in the deployed configuration:
     #   SPARK_GRAFT_CHECKPOINT_DIR=/path python tools/check_all.py ...
+    # caller-specific overrides (e.g. the scale sweep enables the UI
+    # so per-run shuffle/spill bytes can be read off the REST API)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckdir:
         builder = builder.config("spark.cosmoz.checkpoint.dir", ckdir).config(

@@ -68,3 +68,22 @@ def test_corrupt_marker_regenerates(tmp_path, monkeypatch):
         f.write("{not json")
     assert sc.ensure_corpus(None, d, 1) is True
     assert len(calls) == 1
+
+
+def test_matching_marker_extends_missing_tables_only(tmp_path, monkeypatch):
+    """Round 7: adding a table to an existing corpus generates ONLY the
+    missing table and unions the marker — it must not throw away the
+    (expensive) tables already on disk."""
+    calls = []
+    monkeypatch.setattr(sc, "generate", _stub_generate(calls))
+    d = str(tmp_path)
+    with open(f"{d}/corpus_meta.json", "w") as f:
+        json.dump(sc.marker(1000, ("documents", "embeddings")), f)
+    assert sc.ensure_corpus(None, d, 1000, tables=("events", "nation")) is True
+    assert calls == [(d, 1000, ("events", "nation"))]
+    with open(f"{d}/corpus_meta.json") as f:
+        have = json.load(f)
+    assert set(have["tables"]) == {"documents", "embeddings", "events", "nation"}
+    # now everything is covered -> full request is a no-op
+    assert sc.ensure_corpus(None, d, 1000) is False
+    assert len(calls) == 1

@@ -1,9 +1,9 @@
 """Multi-decade scaling evidence (VERDICT r3 task 8; extended r5 to
-every shuffle-heavy query per VERDICT r4 tasks 3-4): time the most
-expensive registry queries on x1 / x10 / x100 corpora produced by the
-SAME generator (tools/scale_corpus.py) and report the per-decade
-scaling exponent alpha where t ~ N^alpha
-(alpha = log10(t_next / t_prev) per 10x step).
+every shuffle-heavy query per VERDICT r4 tasks 3-4; extended r7 per
+VERDICT r6 tasks 1-3): time the most expensive registry queries on
+x1 / x10 / x100 corpora produced by the SAME generator
+(tools/scale_corpus.py) and report the per-decade scaling exponent
+alpha where t ~ N^alpha (alpha = log10(t_next / t_prev) per 10x step).
 
 Candidate-then-verify joins and the level pipeline should be
 near-linear (alpha <= ~1); an alpha near 2 would expose a hidden
@@ -12,12 +12,30 @@ decade (x10 -> x100) is the informative one: at x1 -> x10 fixed
 per-job overhead still dominates wall time on local[32].
 
 Every documents/embeddings-only query additionally runs a THIRD
-decade (x1000: ~2M vectors / 5M docs). For IVF that is the first
-scale where the bounded training sample (IVF_TRAIN_PER_CENTROID)
-actually bites, separating train cost from N; for the banded dedup
-operators it is the first scale where N can exceed a fixed blocking
-keyspace — exactly the regime that exposed the r5 SimHash 16-bit
-band saturation (round 6).
+decade (x1000: ~2M vectors / 5M docs) — the first scale where N can
+exceed a fixed blocking keyspace (the regime that exposed the r5
+SimHash 16-bit band saturation). Round 7 extends the x1000 decade to
+the flagship level pipeline (level4) and the st1 write path: windows
+over event-time are where a dense sub-hourly burst or a hot site
+first bites, and the extension pipeline should not be the only code
+with third-decade evidence.
+
+Round-7 evidence upgrades (VERDICT r6 tasks 1-2):
+
+- Per timed run, shuffle-write / shuffle-read / memory-spill /
+  disk-spill BYTES are read off the Spark status REST API (stages
+  newer than the pre-run high-water stageId; the session enables the
+  UI for this). "The x1000 tax is single-box shuffle spill, not plan
+  superlinearity" is thereby a recorded measurement, not prose.
+- Per decade, intermediate-stage COUNTS (candidate pairs, shingle
+  rows, match rows) are computed through the SAME builders the
+  queries run (catalog_ext.STAGE_PROBES, outside the timer), so
+  "work grows linearly with candidates+output" is auditable from the
+  artifact alone. Derivable stages are not re-counted:
+  x_dedup_minhash_lsh's candidates ARE its output rows (no verify
+  filter), x_dedup_ngram_jaccard's candidates equal minhash's rows
+  (same signatures+banding), and x_dedup_components' edges are 2x
+  x_dedup_simhash_pairs' rows.
 
 st1_write_path times the incremental-overwrite write stage with the
 day grid of the x1 corpus at every scale (rows per (site, day)
@@ -33,16 +51,18 @@ the calendar does not.
 Corpus reuse is gated on the generator-version marker each corpus dir
 carries (tools/scale_corpus.ensure_corpus) — existence alone let a
 stale corpus feed published numbers after a generator change
-(ADVICE r4).
+(ADVICE r4). Tables added later (the x1000 events for level4) extend
+an existing corpus in place; per-table generation is deterministic.
 
 Each timing is cold: scope-tracked persists are released, the SQL
 cache cleared, and the IVF/corpus-metadata memos reset between runs,
 so min-of-2 measures a full cold execution at every scale.
 
-Usage: python tools/scale_bench.py [dir:mult ...]
+Usage: python tools/scale_bench.py [dir:mult ...] [query ...]
   default: /tmp/cosmoz_scale_x1:1 /tmp/cosmoz_scale_x10:10
            /tmp/cosmoz_scale_x100:100   (+ x1000 for X1000_QUERIES)
-Writes SCALE_r06.json at the repo root.
+Writes SCALE_r07.json at the repo root (bare query names run a
+subset and MERGE into the existing file).
 """
 
 from __future__ import annotations
@@ -54,6 +74,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,9 +83,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
-from tools.scale_corpus import BASE_EVENTS, ensure_corpus  # noqa: E402
+from tools.scale_corpus import ALL_TABLES, BASE_EVENTS, ensure_corpus  # noqa: E402
 
-OUT_NAME = "SCALE_r06.json"
+OUT_NAME = "SCALE_r07.json"
 
 QUERIES = (
     "level4",
@@ -84,14 +105,11 @@ DEFAULT_CORPORA = (
     ("/tmp/cosmoz_scale_x100", 100),
 )
 
-# The x1000 corpus carries only documents+embeddings; a full x1000
-# events corpus would dwarf the information gained.
 X1000 = ("/tmp/cosmoz_scale_x1000", 1000)
-X1000_TABLES = ("embeddings", "documents")
-# Every query that reads only documents/embeddings gets the third
-# decade (extended past the initial IVF+SimHash pair once the r6
-# blocking fix made x1000 affordable): each banded candidate
-# generator should be shown at a scale where N >> any fixed keyspace.
+# Round 7: every swept query gets the third decade — the doc/embedding
+# set since r6, plus the level pipeline and the st1 write path
+# (VERDICT r6 task 3). The x1000 corpus carries all tables (events
+# added in place by ensure_corpus's incremental extension).
 X1000_QUERIES = {
     "x_ann_ivf_topk",
     "x_dedup_simhash_pairs",
@@ -100,10 +118,49 @@ X1000_QUERIES = {
     "x_decontaminate",
     "x_embed_cosine_neardup",
     "x_dedup_components",
+    "level4",
+    "st1_write_path",
 }
 
 _X1_GRID_SPAN_S = (BASE_EVENTS // 8) * 1200  # x1 raw_values span, seconds
 _EPOCH_S = 1609459200  # 2021-01-01 00:00:00 UTC
+
+METRIC_FIELDS = {
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "mem_spill_bytes": "memoryBytesSpilled",
+    "disk_spill_bytes": "diskBytesSpilled",
+}
+
+
+def _stages(spark) -> list[dict]:
+    """All stages the status store still retains, via the stable REST
+    API (the session runs with spark.ui.enabled=true for this)."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+            return json.load(r)
+    except Exception:
+        return []
+
+
+def _stage_hwm(spark) -> int:
+    return max((s.get("stageId", -1) for s in _stages(spark)), default=-1)
+
+
+def _metrics_since(spark, hwm: int) -> dict[str, int]:
+    """Summed byte counters over stages submitted after ``hwm``. The
+    status store retains spark.ui.retainedStages (1000) stages, far
+    more than one timed run submits, and only OLDER stages are ever
+    evicted — so a since-high-water-mark sum is eviction-proof where a
+    totals diff is not."""
+    out = dict.fromkeys(METRIC_FIELDS, 0)
+    for s in _stages(spark):
+        if s.get("stageId", -1) > hwm:
+            for k, field in METRIC_FIELDS.items():
+                out[k] += int(s.get(field, 0) or 0)
+    return out
 
 
 def _cold(spark) -> None:
@@ -114,15 +171,18 @@ def _cold(spark) -> None:
     catalog_ext._AUG_OFF.clear()
 
 
-def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int]:
-    best, rows = math.inf, 0
+def time_query(spark, name: str, sf_dir: str, runs: int = 2):
+    best, rows, met = math.inf, 0, {}
     for _ in range(runs):
         _cold(spark)
+        hwm = _stage_hwm(spark)
         t0 = time.time()
         rows = REGISTRY[name].run(spark, sf_dir).count()
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        if dt < best:
+            best, met = dt, _metrics_since(spark, hwm)
     _cold(spark)
-    return round(best, 3), rows
+    return round(best, 3), rows, met
 
 
 def st1_write_run(spark, sf_dir: str) -> tuple[float, int]:
@@ -157,14 +217,16 @@ def st1_write_run(spark, sf_dir: str) -> tuple[float, int]:
     return dt, rows
 
 
-def time_st1_write(spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
-    best, rows = math.inf, 0
+def time_st1_write(spark, sf_dir: str, runs: int = 2):
+    best, rows, met = math.inf, 0, {}
     for _ in range(runs):
         _cold(spark)
+        hwm = _stage_hwm(spark)
         dt, rows = st1_write_run(spark, sf_dir)
-        best = min(best, dt)
+        if dt < best:
+            best, met = dt, _metrics_since(spark, hwm)
     _cold(spark)
-    return round(best, 3), rows
+    return round(best, 3), rows, met
 
 
 def main() -> None:
@@ -178,6 +240,10 @@ def main() -> None:
         if corpora_args
         else list(DEFAULT_CORPORA)
     )
+    # explicit dir:mult args define the sweep exactly (smoke runs on a
+    # tiny corpus must not drag the x1000 decade in); the default
+    # sweep appends x1000 per X1000_QUERIES
+    with_x1000 = not corpora_args
     # Size the JVM for the x1000 decade (the spill-aware knob from the
     # README's scale contract): the default 24g session OOMed
     # (UNABLE_TO_ACQUIRE_MEMORY) in the 680M-row MinHash shingle
@@ -187,30 +253,44 @@ def main() -> None:
     # must do the same (the box has 128 GiB; the driver-gate and
     # bench sessions stay at their own defaults).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-    spark = build_session(app_name="scale-bench")
+    spark = build_session(
+        app_name="scale-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     for d, mult in corpora:
         if ensure_corpus(spark, d, mult):
             print(f"(re)generated x{mult} corpus at {d}", file=sys.stderr)
-    if ensure_corpus(spark, *X1000, tables=X1000_TABLES):
-        print(f"(re)generated x1000 corpus at {X1000[0]}", file=sys.stderr)
+    if with_x1000 and ensure_corpus(spark, *X1000, tables=ALL_TABLES):
+        print(f"(re)generated/extended x1000 corpus at {X1000[0]}", file=sys.stderr)
 
     out: dict[str, dict] = {}
     for name in QUERIES:
         if only and name not in only:
             continue
         q_corpora = list(corpora)
-        if name in X1000_QUERIES:
+        if with_x1000 and name in X1000_QUERIES:
             q_corpora.append(X1000)
         timer = time_st1_write if name == "st1_write_path" else (
             lambda s, d, _n=name: time_query(s, _n, d)
         )
-        times, rows = [], []
+        probe = catalog_ext.STAGE_PROBES.get(name)
+        times, rows, mets, counts = [], [], [], []
         for d, mult in q_corpora:
-            t, r = timer(spark, d)
+            t, r, m = timer(spark, d)
             times.append(t)
             rows.append(r)
-            print(f"{name:28s} x{mult:<5d} {t:8.2f}s rows={r}", file=sys.stderr)
+            mets.append(m)
+            if probe is not None:
+                _cold(spark)
+                counts.append(probe(spark, d))
+                _cold(spark)
+            print(
+                f"{name:28s} x{mult:<5d} {t:8.2f}s rows={r} "
+                f"spill={m.get('disk_spill_bytes', 0) >> 20}MiB "
+                f"shw={m.get('shuffle_write_bytes', 0) >> 20}MiB"
+                + (f" counts={counts[-1]}" if probe else ""),
+                file=sys.stderr,
+            )
         alphas = [
             round(
                 math.log10(times[i + 1] / times[i])
@@ -219,14 +299,22 @@ def main() -> None:
             )
             for i in range(len(q_corpora) - 1)
         ]
-        out[name] = {
+        entry = {
             "t_sec": {f"x{mult}": t for (_, mult), t in zip(q_corpora, times)},
             "rows": {f"x{mult}": r for (_, mult), r in zip(q_corpora, rows)},
             "scaling_exponent_per_decade": {
                 f"x{q_corpora[i][1]}->x{q_corpora[i + 1][1]}": alphas[i]
                 for i in range(len(alphas))
             },
+            "run_bytes": {
+                f"x{mult}": m for (_, mult), m in zip(q_corpora, mets)
+            },
         }
+        if probe is not None:
+            entry["stage_counts"] = {
+                f"x{mult}": c for (_, mult), c in zip(q_corpora, counts)
+            }
+        out[name] = entry
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
@@ -239,10 +327,15 @@ def main() -> None:
     result = {
         "metric": "multi_decade_scaling",
         "corpus": "tools/scale_corpus.py (same generator at every scale; "
-        "marker-gated reuse)",
+        "marker-gated reuse; missing tables generated in place)",
         "policy": "min-of-2 cold (persists released, caches + index/corpus-"
         "metadata memos cleared); st1_write_path holds the partition grid at "
-        "the x1 span so decades scale rows-per-partition, not directory count",
+        "the x1 span so decades scale rows-per-partition, not directory count; "
+        "run_bytes = status-API stage totals for the best run (shuffle write/"
+        "read, memory/disk spill); stage_counts run the queries' own builders "
+        "outside the timer. Derivable stages not re-counted: minhash "
+        "candidates == its rows; ngram_jaccard candidates == minhash rows "
+        "(same signatures+banding); components edges == 2x simhash rows",
         "queries": out,
     }
     with open(out_path, "w") as f:

@@ -158,20 +158,34 @@ def ensure_corpus(
     spark: SparkSession, out_dir: str, mult: int, tables: tuple[str, ...] = ALL_TABLES
 ) -> bool:
     """Generate unless the on-disk marker matches this generator's
-    version + parameters and covers the requested tables. Returns True
-    if (re)generated."""
+    version + parameters and covers the requested tables. When the
+    marker matches but some requested tables are missing, generate
+    ONLY those and extend the marker (round 7: the x1000 corpus grew
+    events+nation for the level-pipeline decade — regenerating its 5M
+    docs + 2M vectors to add them would be pure waste; per-table
+    generation is deterministic, so an extended corpus is
+    bit-identical to a from-scratch one). Returns True if anything
+    was (re)generated."""
     meta_path = os.path.join(out_dir, "corpus_meta.json")
     try:
         with open(meta_path) as f:
             have = json.load(f)
         want = marker(mult, tables)
-        if (
+        same_gen = (
             have.get("generator_version") == want["generator_version"]
             and have.get("mult") == want["mult"]
             and have.get("base") == want["base"]
-            and set(tables) <= set(have.get("tables", []))
-        ):
+        )
+        if same_gen and set(tables) <= set(have.get("tables", [])):
             return False
+        if same_gen:
+            missing = tuple(t for t in tables if t not in have.get("tables", []))
+            generate(spark, out_dir, mult, missing)
+            with open(meta_path, "w") as f:
+                json.dump(
+                    marker(mult, tuple(set(have["tables"]) | set(tables))), f, indent=1
+                )
+            return True
     except (OSError, ValueError):
         pass
     generate(spark, out_dir, mult, tables)
