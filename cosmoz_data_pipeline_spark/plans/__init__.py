@@ -27,10 +27,13 @@ from . import catalog_streaming  # noqa: E402,F401
 # the driver budget by design — they are instrumentation views of
 # x_ann_ivf_topk (which IS recorded): _train returns the centroid
 # table the recorded query trains, _search returns the recorded
-# query's exact output. Dropping them from the driver record loses no
-# operator coverage; their oracle parity is still enforced locally by
-# tools/check_all.py and tests/test_oracle_parity.py, and bench.py
-# times the full registry including them.
+# query's exact output. Round 7 adds the ppm codec view of
+# x_multimodal_decode_frames (also recorded, via its stub default) —
+# same media plumbing, REAL P6 parse, own strict oracle. Dropping
+# them from the driver record loses no operator coverage; their
+# oracle parity is still enforced locally by tools/check_all.py and
+# tests/test_oracle_parity.py, and bench.py times the full registry
+# including them.
 DRIVER_QUERY_BUDGET = 50
 _FRONT = [
     "st5_stateful_validity",
@@ -48,6 +51,7 @@ _FRONT = [
 _TAIL = [
     "x_ann_ivf_topk_train",
     "x_ann_ivf_topk_search",
+    "x_multimodal_decode_ppm",
 ]
 _ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 _ordered.update(

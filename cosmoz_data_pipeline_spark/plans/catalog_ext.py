@@ -1715,45 +1715,112 @@ JOIN LATERAL (SELECT unnest(generate_series(1, hdr.b0 % 4 + 1)) AS frame_idx) t 
     doc="Multimodal column plumbing, decode + 1→N frame sampling in one "
     "Arrow-batched mapInPandas (merged round 3: subsumes the former "
     "decode-stub and frame-sample queries): an opaque binary 'media' "
-    "column (16-byte deterministic fake payload) is header-decoded "
-    "(n_bytes/mode/width) and expanded to one row per sampled frame — "
-    "real schema, partitioning, batch shape and variable fan-out, the "
-    "exact shape an ffmpeg/PIL decode stage has; the codec itself is "
-    "stubbed per the build contract (no image libs in this container). "
-    "Round 6: the codec is a feature flag — "
-    "spark.cosmoz.multimodal.codec=stub (default, oracle-checked) or "
-    "=pil (real Pillow decode of the binary column; refuses loudly "
-    "when Pillow is absent rather than silently falling back, so a "
-    "deployment that asked for real decoding cannot get fake frames). "
-    "The oracle recomputes the stub's header and frame bytes "
-    "arithmetically.",
+    "column is header-decoded (n_bytes/mode/width) and expanded to one "
+    "row per sampled frame — real schema, partitioning, batch shape "
+    "and variable fan-out, the exact shape an ffmpeg/PIL decode stage "
+    "has. The codec is a feature flag — spark.cosmoz.multimodal.codec="
+    "stub (default: 16-byte deterministic fake payload, THIS oracle "
+    "checks it arithmetically), =ppm (round 7: the media column is a "
+    "real binary P6 PPM image and the decode is a real pure-Python "
+    "header/pixel parse — oracle-gated separately as "
+    "x_multimodal_decode_ppm), or =pil (real Pillow decode of the same "
+    "PPM bytes; refuses loudly when Pillow is absent rather than "
+    "silently falling back, so a deployment that asked for real "
+    "decoding cannot get fake frames).",
 )
 def q_multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codec = spark.conf.get("spark.cosmoz.multimodal.codec", "stub")
+    if codec not in ("stub", "ppm", "pil"):
+        raise ValueError(f"unknown multimodal codec {codec!r} (stub|ppm|pil)")
+    return _decode_frames(spark, sf_dir, codec)
+
+
+_FRAMES_SCHEMA = (
+    "doc_id long, n_bytes long, header_byte long, mode string, "
+    "width long, frame_idx long, frame_byte long"
+)
+
+
+def _ppm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media) where media is a VALID binary P6 PPM image,
+    deterministically derived from the text: w in {2,3,4} and h in
+    {1,2} from the first md5 byte, pixels from md5-stream bytes
+    (offset by one so the first pixel byte differs from the
+    width/height seed). Built entirely with JVM-side expressions —
+    the decode stage downstream has no knowledge of this layout and
+    must recover w/h by actually parsing the header."""
+    b0 = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    w = (F.lit(2) + b0 % 3).cast("int")
+    h = (F.lit(1) + (F.floor(b0 / 4).cast("int") % 2)).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pix_stream = F.unhex(
+        F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("p"))))
+    )
+    media = F.concat(
+        F.encode(header, "UTF-8"),
+        pix_stream.substr(F.lit(2), w * h * F.lit(3)),
+    )
+    return docs.select("doc_id", media.alias("media"))
+
+
+def parse_p6(data: bytes) -> tuple[int, int, bytes]:
+    """REAL P6 PPM parse (pure Python, vendored — no image libs in the
+    container): magic check, whitespace/comment-tolerant header
+    tokenization, maxval validation, pixel-payload bounds check.
+    Returns (width, height, pixel bytes). Raises ValueError on
+    anything that is not a well-formed 8-bit P6 — including the stub
+    codec's 16 random md5 bytes, which is the point: a deployment
+    that asked for real decoding cannot silently get fake frames."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM (bad magic)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = data[pos : pos + 3 * w * h]
+    if len(pix) < 3 * w * h:
+        raise ValueError("truncated PPM pixel payload")
+    return w, h, pix
+
+
+def _decode_frames(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
     import pandas as pd
 
-    codec = spark.conf.get("spark.cosmoz.multimodal.codec", "stub")
+    docs = load_table(spark, sf_dir, "documents")
+
     if codec == "pil":
         try:
             import PIL  # noqa: F401
         except ImportError as exc:
             raise ImportError(
                 "spark.cosmoz.multimodal.codec=pil requires Pillow, which is "
-                "not installed in this environment; unset the conf to use the "
-                "deterministic stub codec (the oracle-checked default)"
+                "not installed in this environment; use codec=ppm for a real "
+                "decode without Pillow, or unset the conf for the stub "
+                "codec (the oracle-checked default)"
             ) from exc
-    elif codec != "stub":
-        raise ValueError(f"unknown multimodal codec {codec!r} (stub|pil)")
 
-    docs = load_table(spark, sf_dir, "documents")
-    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("media"))
-
-    if codec == "pil":
         # REAL decode path (requires Pillow on executors): same Arrow
-        # mapInPandas plumbing and output schema, but header/mode/
-        # width come from the actual image and frames from
-        # ImageSequence. No oracle — real codec output is not
-        # SQL-expressible; the stub remains the correctness-gated
-        # default.
+        # mapInPandas plumbing and output schema; the media bytes are
+        # the same valid PPM images the ppm codec parses (Pillow reads
+        # PPM natively), so header/mode/width come from the actual
+        # image and frames from ImageSequence.
         def decode_and_sample(batches):
             import io
 
@@ -1777,11 +1844,34 @@ def q_multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {c: "int64" for c in out if c != "mode"}
                 )
 
-        return with_bin.mapInPandas(
-            decode_and_sample,
-            schema="doc_id long, n_bytes long, header_byte long, mode string, "
-            "width long, frame_idx long, frame_byte long",
-        )
+        return _ppm_media(docs).mapInPandas(decode_and_sample, _FRAMES_SCHEMA)
+
+    if codec == "ppm":
+        # REAL decode, no external libs: parse_p6 recovers w/h/pixels
+        # from the bytes alone. PPM is single-frame, so the fan-out is
+        # 1 row; the variable-fan-out shape is still pinned by the
+        # stub codec's oracle.
+        def decode_and_sample(batches):
+            for pdf in batches:
+                out = {k: [] for k in
+                       ("doc_id", "n_bytes", "header_byte", "mode", "width",
+                        "frame_idx", "frame_byte")}
+                for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                    w, h, pix = parse_p6(media)
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(len(media))
+                    out["header_byte"].append(media[0])
+                    out["mode"].append("RGB")  # P6 is 3-channel by spec
+                    out["width"].append(w)
+                    out["frame_idx"].append(1)
+                    out["frame_byte"].append(pix[0])
+                yield pd.DataFrame(out).astype(
+                    {c: "int64" for c in out if c != "mode"}
+                )
+
+        return _ppm_media(docs).mapInPandas(decode_and_sample, _FRAMES_SCHEMA)
+
+    with_bin = docs.select("doc_id", F.unhex(F.md5("text")).alias("media"))
 
     def decode_and_sample(batches):
         for pdf in batches:
@@ -1802,11 +1892,46 @@ def q_multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {c: "int64" for c in out if c != "mode"}
             )
 
-    return with_bin.mapInPandas(
-        decode_and_sample,
-        schema="doc_id long, n_bytes long, header_byte long, mode string, "
-        "width long, frame_idx long, frame_byte long",
-    )
+    return with_bin.mapInPandas(decode_and_sample, _FRAMES_SCHEMA)
+
+
+@register(
+    "x_multimodal_decode_ppm",
+    """
+WITH b AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+d AS (
+    SELECT doc_id, h1,
+           (strpos('0123456789abcdef', substr(h1, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h1, 2, 1)) - 1) AS b0
+    FROM b),
+g AS (SELECT doc_id, h1, b0, 2 + b0 % 3 AS w, 1 + (b0 // 4) % 2 AS hh FROM d)
+SELECT doc_id,
+       CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                   || CAST(hh AS VARCHAR) || chr(10) || '255' || chr(10))
+            + 3 * w * hh AS BIGINT) AS n_bytes,
+       CAST(80 AS BIGINT) AS header_byte,
+       'RGB' AS mode,
+       CAST(w AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS frame_idx,
+       (strpos('0123456789abcdef', substr(h1, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h1, 4, 1)) - 1) AS frame_byte
+FROM g""",
+    doc="The ppm codec path of x_multimodal_decode_frames as its own "
+    "oracle-gated query (VERDICT r6 task 4: execute a REAL decode, not "
+    "a stub hash). The media column is a valid binary P6 PPM built "
+    "with JVM expressions; the Arrow mapInPandas stage recovers "
+    "width/height/pixels by genuinely parsing the bytes (parse_p6: "
+    "magic, whitespace/comment-tolerant header, maxval, payload bounds "
+    "— it rejects the stub's random bytes). The oracle predicts "
+    "header length, dimensions and first pixel byte ARITHMETICALLY "
+    "from the same md5 derivation, so a parser that mis-tokenized the "
+    "header or mis-offset the pixel payload hash-mismatches. Sits in "
+    "the registry tail past the 50-query driver budget (same policy "
+    "as the IVF train/search views); gated locally by check_all and "
+    "tests/test_multimodal_codec.py.",
+)
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_frames(spark, sf_dir, "ppm")
 
 
 # -------------------------------------------------- scale-sweep probes

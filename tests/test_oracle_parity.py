@@ -58,7 +58,10 @@ def test_driver_budget_records_all_operators():
     assert "x_ann_ivf_topk" in names[:DRIVER_QUERY_BUDGET]
 
 
-@pytest.mark.parametrize("name", ["x_ann_ivf_topk_train", "x_ann_ivf_topk_search"])
+@pytest.mark.parametrize(
+    "name",
+    ["x_ann_ivf_topk_train", "x_ann_ivf_topk_search", "x_multimodal_decode_ppm"],
+)
 def test_unrecorded_tail_matches_oracle(spark, sf_dir, duck, name):
     """The tail queries sit past the driver budget, so the driver's
     CORRECTNESS artifact never checks them — this test is their
