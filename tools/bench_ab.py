@@ -31,8 +31,18 @@ Output: BENCH_AB_r{N}.json with per-query and total times for both
 commits. Perf claims in README/round notes should cite ONLY this
 artifact, never raw cross-round BENCH files.
 
+--repeats N (round 7, VERDICT r6 task 5) runs the whole interleaved
+protocol N times and emits EVERY repeat's per-query minima and totals
+into the one JSON: the noise-floor claim ("a second full A/B measured
+the opposite sign") becomes auditable from the artifact instead of
+README prose. The headline base/current blocks stay min-over-all-
+passes-and-repeats, and the workers persist across repeats (same two
+JVMs — a restart per repeat would reintroduce the warmup noise the
+protocol exists to cancel).
+
 Usage:
     python tools/bench_ab.py [--base REF] [--out FILE] [--passes 3]
+                             [--repeats 1]
 """
 
 from __future__ import annotations
@@ -158,6 +168,7 @@ def main() -> int:
     ap.add_argument("--base", default=None, help="git ref of the base code")
     ap.add_argument("--out", default=None, help="output JSON path")
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
     if args.base is None:
@@ -191,18 +202,33 @@ def main() -> int:
         skipped = sorted(set(wa.registry) ^ set(wb.registry))
         if skipped:
             print(f"not in both registries, skipped: {skipped}", file=sys.stderr)
-        ta: dict[str, float] = {}
-        tb: dict[str, float] = {}
-        for p in range(args.passes):
-            for name in names:
-                pair = [(wa, ta), (wb, tb)] if p % 2 == 0 else [(wb, tb), (wa, ta)]
-                for w, acc in pair:
-                    sec = w.run(name)
-                    if sec is not None:
-                        acc[name] = min(acc.get(name, sec), sec)
-            print(f"pass {p + 1}/{args.passes} done "
-                  f"(A={sum(ta.values()):.1f}s B={sum(tb.values()):.1f}s)",
-                  file=sys.stderr)
+        repeats: list[dict] = []
+        for rep in range(args.repeats):
+            ra: dict[str, float] = {}
+            rb: dict[str, float] = {}
+            for p in range(args.passes):
+                for name in names:
+                    pair = [(wa, ra), (wb, rb)] if p % 2 == 0 else [(wb, rb), (wa, ra)]
+                    for w, acc in pair:
+                        sec = w.run(name)
+                        if sec is not None:
+                            acc[name] = min(acc.get(name, sec), sec)
+                print(f"repeat {rep + 1}/{args.repeats} "
+                      f"pass {p + 1}/{args.passes} done "
+                      f"(A={sum(ra.values()):.1f}s B={sum(rb.values()):.1f}s)",
+                      file=sys.stderr)
+            repeats.append({
+                "base_total": round(sum(ra.values()), 3),
+                "current_total": round(sum(rb.values()), 3),
+                "base_queries": ra,
+                "current_queries": rb,
+            })
+        ta = {n: min(r["base_queries"][n] for r in repeats
+                     if n in r["base_queries"])
+              for n in names if any(n in r["base_queries"] for r in repeats)}
+        tb = {n: min(r["current_queries"][n] for r in repeats
+                     if n in r["current_queries"])
+              for n in names if any(n in r["current_queries"] for r in repeats)}
         wa.stop()
         wb.stop()
     finally:
@@ -217,6 +243,7 @@ def main() -> int:
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "generated_unix": int(time.time()),
         "passes": args.passes,
+        "repeats": repeats,
         "base": {
             "ref": base_ref,
             "value": round(sum(ta.values()), 3),
@@ -229,8 +256,10 @@ def main() -> int:
             "queries": tb,
         },
         "policy": "interleaved same-host A/B: per query per pass, base and "
-        "current run back-to-back (order flipped on odd passes); min over "
-        "passes; cold cache per run per bench.py (persists, SQL cache, "
+        "current run back-to-back (order flipped on odd passes); headline "
+        "base/current = min over all passes and repeats; 'repeats' holds "
+        "each full protocol repeat's own minima so the noise floor is "
+        "auditable; cold cache per run per bench.py (persists, SQL cache, "
         "index/corpus memos cleared; x_ann_ivf_topk_search warm-index). "
         "Raw cross-round BENCH_r{N}.json files drift ~30% with host state "
         "and must not be compared; cite this artifact for perf claims.",
