@@ -59,8 +59,33 @@ def quantize(v: Column) -> Column:
     with 3 orders of margin). Carrying the int32 array instead of the
     float64 one through a verify join halves the shuffled vector
     payload; all arithmetic on it runs through :func:`idot`, which
-    widens to int64 per term."""
-    return F.transform(v, lambda x: F.floor(x * SRP_QUANT).cast("int"))
+    widens to int64 per term.
+
+    HARD BOUND: |v| < SRP_QUANT_MAX_ABS (= int32_max / SRP_QUANT ≈
+    2147.48). With ANSI off, Spark's int cast silently WRAPS past
+    int32 while the DuckDB oracle keeps BIGINT — an out-of-range
+    component would become a silent parity break, so the guard raises
+    at the augmentation edge instead (ADVICE r7). The when/abs check
+    runs once per component at quantization time (persisted once per
+    vector), never inside the verify-join fold, so the hot path is
+    untouched."""
+    return F.transform(
+        v,
+        lambda x: F.when(
+            F.abs(x) < F.lit(float(SRP_QUANT_MAX_ABS)),
+            F.floor(x * SRP_QUANT).cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "quantize(): |component| exceeds the int32 grid bound "
+                        f"{SRP_QUANT_MAX_ABS} (would wrap past int32): "
+                    ),
+                    x.cast("string"),
+                )
+            ).cast("int")
+        ),
+    )
 
 
 def qnorm(qv: Column) -> Column:
@@ -143,6 +168,10 @@ def cosine_unrolled(
 SRP_MOD = 2000001
 SRP_HALF = 1000000
 SRP_QUANT = 1_000_000  # vector components → floor(v * 1e6)
+# largest |component| the int32 grid can hold: floor(x * 1e6) must stay
+# within int32, so |x| < 2^31 / 1e6. quantize() raises past this bound
+# instead of letting the ANSI-off cast wrap (ADVICE r7).
+SRP_QUANT_MAX_ABS = (2**31) / SRP_QUANT  # ≈ 2147.483
 SRP_MAX_PLANES = 30  # bucket ids must stay well inside int64
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..sources.tables import load_table
-from .registry import REGISTRY, register, scoped_persist
+from .registry import REGISTRY, register, release_persists, scoped_persist
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -1954,23 +1954,35 @@ def _probe_minhash(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _probe_simhash(spark: SparkSession, sf_dir: str) -> dict:
+    # finally-release: probes persist outside any registry release
+    # scope, so a standalone caller must not leak cache into whatever
+    # (timed) job runs next (VERDICT r7 task 4)
     sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
-    return {"candidate_pairs": _simhash_combo_cands(sigs).count()}
+    try:
+        return {"candidate_pairs": _simhash_combo_cands(sigs).count()}
+    finally:
+        release_persists()
 
 
 def _probe_neardup(spark: SparkSession, sf_dir: str) -> dict:
     _, cand = _neardup_cands(spark, sf_dir)
-    return {"candidate_pairs": cand.count()}
+    try:
+        return {"candidate_pairs": cand.count()}
+    finally:
+        release_persists()
 
 
 def _probe_decontaminate(spark: SparkSession, sf_dir: str) -> dict:
     tr, ev = _decon_sides(spark, sf_dir)
     tr = scoped_persist(tr)
-    return {
-        "train_shingle_rows": tr.count(),
-        "eval_index_rows": ev.count(),
-        "matched_rows_preagg": tr.join(F.broadcast(ev), "h").count(),
-    }
+    try:
+        return {
+            "train_shingle_rows": tr.count(),
+            "eval_index_rows": ev.count(),
+            "matched_rows_preagg": tr.join(F.broadcast(ev), "h").count(),
+        }
+    finally:
+        release_persists()
 
 
 STAGE_PROBES = {

@@ -85,7 +85,7 @@ from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.scale_corpus import ALL_TABLES, BASE_EVENTS, ensure_corpus  # noqa: E402
 
-OUT_NAME = "SCALE_r07.json"
+OUT_NAME = "SCALE_r08.json"
 
 QUERIES = (
     "level4",
@@ -133,30 +133,45 @@ METRIC_FIELDS = {
 }
 
 
-def _stages(spark) -> list[dict]:
+def _stages(spark) -> list[dict] | None:
     """All stages the status store still retains, via the stable REST
-    API (the session runs with spark.ui.enabled=true for this)."""
+    API (the session runs with spark.ui.enabled=true for this).
+    Returns None — NOT [] — when the endpoint cannot be read (ADVICE
+    r7: an unreachable status API must surface as 'metrics
+    unavailable', never as an all-zero or corpus-polluted byte sum)."""
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     try:
         with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
             return json.load(r)
-    except Exception:
-        return []
+    except Exception as exc:
+        print(f"WARNING: status REST API unreadable ({exc!r}); "
+              "run_bytes will be null for this run", file=sys.stderr)
+        return None
 
 
-def _stage_hwm(spark) -> int:
-    return max((s.get("stageId", -1) for s in _stages(spark)), default=-1)
+def _stage_hwm(spark) -> int | None:
+    stages = _stages(spark)
+    if stages is None:
+        return None
+    return max((s.get("stageId", -1) for s in stages), default=-1)
 
 
-def _metrics_since(spark, hwm: int) -> dict[str, int]:
+def _metrics_since(spark, hwm: int | None) -> dict[str, int] | None:
     """Summed byte counters over stages submitted after ``hwm``. The
     status store retains spark.ui.retainedStages (1000) stages, far
     more than one timed run submits, and only OLDER stages are ever
     evicted — so a since-high-water-mark sum is eviction-proof where a
-    totals diff is not."""
+    totals diff is not. Returns None (→ null in the artifact) when
+    either REST read failed: a missing high-water mark would otherwise
+    sum every retained stage including corpus generation."""
+    if hwm is None:
+        return None
+    stages = _stages(spark)
+    if stages is None:
+        return None
     out = dict.fromkeys(METRIC_FIELDS, 0)
-    for s in _stages(spark):
+    for s in stages:
         if s.get("stageId", -1) > hwm:
             for k, field in METRIC_FIELDS.items():
                 out[k] += int(s.get(field, 0) or 0)
@@ -284,10 +299,11 @@ def main() -> None:
                 _cold(spark)
                 counts.append(probe(spark, d))
                 _cold(spark)
+            _m = m or {}
             print(
                 f"{name:28s} x{mult:<5d} {t:8.2f}s rows={r} "
-                f"spill={m.get('disk_spill_bytes', 0) >> 20}MiB "
-                f"shw={m.get('shuffle_write_bytes', 0) >> 20}MiB"
+                f"spill={_m.get('disk_spill_bytes', 0) >> 20}MiB "
+                f"shw={_m.get('shuffle_write_bytes', 0) >> 20}MiB"
                 + (f" counts={counts[-1]}" if probe else ""),
                 file=sys.stderr,
             )

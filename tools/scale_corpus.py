@@ -183,7 +183,12 @@ def ensure_corpus(
             generate(spark, out_dir, mult, missing)
             with open(meta_path, "w") as f:
                 json.dump(
-                    marker(mult, tuple(set(have["tables"]) | set(tables))), f, indent=1
+                    # .get: a same-generator marker missing its tables
+                    # key must degrade like any other corrupt marker
+                    # (ADVICE r7), not raise KeyError mid-extension
+                    marker(mult, tuple(set(have.get("tables", [])) | set(tables))),
+                    f,
+                    indent=1,
                 )
             return True
     except (OSError, ValueError):
