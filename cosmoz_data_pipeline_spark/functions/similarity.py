@@ -71,8 +71,11 @@ def quantize(v: Column) -> Column:
     untouched."""
     return F.transform(
         v,
+        # isNull first: a NULL component must stay NULL (the folds
+        # null-skip it, matching SQL SUM) — abs(NULL) is NULL, which
+        # would otherwise fall through to the raise branch
         lambda x: F.when(
-            F.abs(x) < F.lit(float(SRP_QUANT_MAX_ABS)),
+            x.isNull() | (F.abs(x) < F.lit(float(SRP_QUANT_MAX_ABS))),
             F.floor(x * SRP_QUANT).cast("int"),
         ).otherwise(
             F.raise_error(

@@ -143,6 +143,31 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+# Augmented documents cardinality, memoized per corpus dir — the
+# SimHash blocking picks its block scheme from the corpus size (the
+# same sizing-needs-only-the-count rationale as _EMB_AUG_COUNT): one
+# id-pruned count, not a materialization of the augmented projection.
+_DOCS_AUG_COUNT: dict[str, int] = {}
+
+
+def _docs_aug_count(spark: SparkSession, sf_dir: str) -> int:
+    key = sf_dir.rstrip("/")
+    n = _DOCS_AUG_COUNT.get(key)
+    if n is None:
+        r = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("doc_id") % 11 == 0).alias("n11"),
+                F.count_if(F.col("doc_id") % 5 == 0).alias("n5"),
+            )
+            .collect()[0]
+        )
+        n = r["n"] + r["n11"] + r["n5"]
+        _DOCS_AUG_COUNT[key] = n
+    return n
+
+
 # ---------------------------------------------------------------- dedup
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
@@ -324,36 +349,69 @@ sg64 AS (
     FROM cs)"""
 
 
-def _simhash_combo_cands(sigs: DataFrame) -> DataFrame:
+# Above this many (augmented) documents, the SimHash blocking widens
+# from the 6-block to the 8-block Manku scheme. Why: the narrowest
+# 6-block combo keys are 24 bits (three 8-bit blocks), so the random-
+# collision term in the candidate count is ~4 * N^2 / 2^25 — invisible
+# below ~1M docs, ~20% of all candidates at 5M (measured: SCALE_r08
+# stage_counts grew 21.6x over the x100->x1000 decade against 9.4x
+# output growth), and DOMINANT ~N^2 by 50M. The 8-block scheme's
+# narrowest key is 40 bits (5 x 8-bit blocks): its random term stays
+# negligible past 1e9 docs, at the price of 56-vs-20 band rows per
+# document — worth paying exactly when the collision term passes the
+# band-row overhead, i.e. around 2^21 docs. Same corpus-scaled-keyspace
+# principle as srp_planes_for; the r5 16-bit saturation, one level up.
+SIMHASH_WIDE_N = 1 << 21
+
+
+def _simhash_blocks(wide: bool) -> tuple[list, int]:
+    """(blocks, blocks_per_combo) for the Manku multi-block scheme.
+    Blocks are (column, bit-width) over the four 16-bit signature
+    words, built with plain integer arithmetic (no 64-bit reassembly —
+    that would overflow signed bigint for s3 >= 2^15). Hamming <= 3
+    corrupts at most 3 blocks, so with b blocks every true pair
+    matches exactly on some combo of b-3 blocks: 6 blocks -> C(6,3)=20
+    keys of 24-40 bits; 8 blocks -> C(8,5)=56 keys of 40 bits."""
+    if not wide:
+        return [
+            (F.col("s0"), 16),
+            (F.col("s1"), 16),
+            (F.col("s2").bitwiseAND(F.lit(255)), 8),
+            (F.shiftright("s2", 8), 8),
+            (F.col("s3").bitwiseAND(F.lit(255)), 8),
+            (F.shiftright("s3", 8), 8),
+        ], 3
+    blocks = []
+    for w in ("s0", "s1", "s2", "s3"):
+        blocks.append((F.col(w).bitwiseAND(F.lit(255)), 8))
+        blocks.append((F.shiftright(w, 8), 8))
+    return blocks, 5
+
+
+def _simhash_combo_cands(
+    sigs: DataFrame, n_docs: int, wide: bool | None = None
+) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates from the Manku WWW'07
-    multi-block blocking over a (doc_id, s0..s3) SimHash table: 6
-    blocks over the 64 signature bits, C(6,3)=20 three-block combo
-    keys (24-40 bits), one equi-join on (band_idx, band_val). Blocks
-    are built with plain integer arithmetic on the four 16-bit words
-    (no 64-bit reassembly — that would overflow signed bigint for
-    s3 >= 2^15)."""
-    blocks = [
-        (F.col("s0"), 16),
-        (F.col("s1"), 16),
-        (F.col("s2").bitwiseAND(F.lit(255)), 8),
-        (F.shiftright("s2", 8), 8),
-        (F.col("s3").bitwiseAND(F.lit(255)), 8),
-        (F.shiftright("s3", 8), 8),
-    ]
-    combos = [
-        (i, j, k)
-        for i in range(6)
-        for j in range(i + 1, 6)
-        for k in range(j + 1, 6)
-    ]
-    keys = [
-        (
-            blocks[i][0].cast("bigint") * F.lit(1 << (blocks[j][1] + blocks[k][1]))
-            + blocks[j][0].cast("bigint") * F.lit(1 << blocks[k][1])
-            + blocks[k][0].cast("bigint")
-        )
-        for i, j, k in combos
-    ]
+    multi-block blocking over a (doc_id, s0..s3) SimHash table, one
+    equi-join on (band_idx, band_val). The block scheme is CORPUS-
+    SCALED via ``n_docs`` (see SIMHASH_WIDE_N); both schemes are
+    complete for Hamming <= 3 and the verify filter is exact, so the
+    final pair set is identical whichever is active (pinned by
+    tests/test_lsh_properties.py + tests/test_simhash_wide_blocks.py).
+    ``wide`` overrides the threshold for tests."""
+    from itertools import combinations
+
+    if wide is None:
+        wide = n_docs >= SIMHASH_WIDE_N
+    blocks, m = _simhash_blocks(wide)
+    keys = []
+    for combo in combinations(range(len(blocks)), m):
+        k = None
+        for idx in combo:
+            col, width = blocks[idx]
+            c = col.cast("bigint")
+            k = c if k is None else k * F.lit(1 << width) + c
+        keys.append(k)
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*keys)).alias("band_idx", "band_val"),
@@ -410,7 +468,14 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     "pair matches exactly on at least one of the C(6,3)=20 "
     "3-block-combination keys (24-40 bits each — key WIDTH grows the "
     "bucket space to 2^24+, which is what restores ~linear candidate "
-    "growth; at larger corpora widen blocks/combos the same way). "
+    "growth). Round 8: the scheme is CORPUS-SCALED — above "
+    "SIMHASH_WIDE_N (~2M) augmented docs the blocking widens to 8 "
+    "blocks of 8 bits with C(8,5)=56 five-block keys of 40 bits, "
+    "because the 6-block scheme's narrowest 24-bit keys accumulate a "
+    "~N^2/2^25-per-combo random-collision term that SCALE_r08's "
+    "stage_counts caught bending the candidate curve at 5M docs. "
+    "Both schemes are complete for Hamming<=3 (pigeonhole, property-"
+    "tested), so the verified pair set is identical either way. "
     "Candidate generation is still one EQUI-join on (band_idx, "
     "band_val); the exact Hamming verify is unchanged, so the final "
     "pair set is bit-identical to any complete blocking — the DuckDB "
@@ -418,7 +483,7 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
-    cand = _simhash_combo_cands(sigs)
+    cand = _simhash_combo_cands(sigs, _docs_aug_count(spark, sf_dir))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"sa{k}") for k in range(4)],
@@ -1959,7 +2024,11 @@ def _probe_simhash(spark: SparkSession, sf_dir: str) -> dict:
     # (timed) job runs next (VERDICT r7 task 4)
     sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
     try:
-        return {"candidate_pairs": _simhash_combo_cands(sigs).count()}
+        return {
+            "candidate_pairs": _simhash_combo_cands(
+                sigs, _docs_aug_count(spark, sf_dir)
+            ).count()
+        }
     finally:
         release_persists()
 

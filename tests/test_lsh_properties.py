@@ -28,6 +28,29 @@ def test_simhash_pigeonhole_never_misses_hamming3(sig, flips):
     assert any(a == b for a, b in zip(bands_a, bands_b))
 
 
+@given(
+    sig=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_wide_pigeonhole_never_misses_hamming3(sig, flips):
+    """The round-8 WIDE blocking invariant (SIMHASH_WIDE_N corpora):
+    <=3 flipped bits corrupt <=3 of the 8 8-bit blocks, so >=5 blocks
+    stay intact and at least one of the C(8,5)=56 five-block combo
+    keys matches exactly — the equi-join cannot miss a true pair."""
+    from itertools import combinations
+
+    other = sig
+    for b in set(flips):
+        other ^= 1 << b
+    blk_a = [(sig >> (8 * k)) & 0xFF for k in range(8)]
+    blk_b = [(other >> (8 * k)) & 0xFF for k in range(8)]
+    assert any(
+        all(blk_a[i] == blk_b[i] for i in combo)
+        for combo in combinations(range(8), 5)
+    )
+
+
 @given(st.integers(min_value=1, max_value=10**13))
 @settings(max_examples=200, deadline=None)
 def test_srp_planes_bucket_occupancy_bound(n):

@@ -74,7 +74,7 @@ def cold():
     spark.catalog.clearCache()
     # getattr: stay compatible with older code states that may lack
     # one of the memos
-    for m in ("_IVF_CENTROIDS", "_EMB_AUG_COUNT", "_AUG_OFF"):
+    for m in ("_IVF_CENTROIDS", "_EMB_AUG_COUNT", "_DOCS_AUG_COUNT", "_AUG_OFF"):
         memo = getattr(catalog_ext, m, None)
         if memo is not None:
             memo.clear()
