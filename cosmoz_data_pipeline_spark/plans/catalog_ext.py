@@ -355,13 +355,27 @@ sg64 AS (
 # collision term in the candidate count is ~4 * N^2 / 2^25 — invisible
 # below ~1M docs, ~20% of all candidates at 5M (measured: SCALE_r08
 # stage_counts grew 21.6x over the x100->x1000 decade against 9.4x
-# output growth), and DOMINANT ~N^2 by 50M. The 8-block scheme's
+# output growth), and DOMINANT ~N^2 by ~1e9. The 8-block scheme's
 # narrowest key is 40 bits (5 x 8-bit blocks): its random term stays
 # negligible past 1e9 docs, at the price of 56-vs-20 band rows per
-# document — worth paying exactly when the collision term passes the
-# band-row overhead, i.e. around 2^21 docs. Same corpus-scaled-keyspace
-# principle as srp_planes_for; the r5 16-bit saturation, one level up.
-SIMHASH_WIDE_N = 1 << 21
+# document.
+#
+# The threshold is the MEASURED cost crossover, not the point where
+# collisions first appear. Band rows feed BOTH sides of the
+# sort-merge self-join, so widening costs ~(56-20)*2 = 72 extra
+# sorted-and-shuffled row-units per doc, while a surviving narrow-key
+# collision costs ~1 (join output + distinct + exact verify). At
+# N=5e6 the trade was measured both ways on the same corpus
+# (SCALE_r08 x1000 decade): narrow = 65.7 s / 14.5M candidates /
+# zero spill; wide = 333.0 s / 1.05M candidates / 2x shuffle bytes +
+# 39 GB spill — the 36N extra band rows (180M) dwarf the 13.5M saved
+# candidates ~27:1. The crossover is where the random term passes the
+# extra band-row cost: 4*N^2/2^25 > 72*N, i.e. N > 18*2^25 ~= 2^29.
+# Same corpus-scaled-keyspace principle as srp_planes_for (the r5
+# 16-bit saturation, one level up); the wide scheme's completeness
+# and pair-set parity stay pinned by tests/test_simhash_wide_blocks.py
+# regardless of which side of the threshold the corpus falls on.
+SIMHASH_WIDE_N = 1 << 29
 
 
 def _simhash_blocks(wide: bool) -> tuple[list, int]:
@@ -469,11 +483,16 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     "3-block-combination keys (24-40 bits each — key WIDTH grows the "
     "bucket space to 2^24+, which is what restores ~linear candidate "
     "growth). Round 8: the scheme is CORPUS-SCALED — above "
-    "SIMHASH_WIDE_N (~2M) augmented docs the blocking widens to 8 "
+    "SIMHASH_WIDE_N (2^29) augmented docs the blocking widens to 8 "
     "blocks of 8 bits with C(8,5)=56 five-block keys of 40 bits, "
     "because the 6-block scheme's narrowest 24-bit keys accumulate a "
     "~N^2/2^25-per-combo random-collision term that SCALE_r08's "
-    "stage_counts caught bending the candidate curve at 5M docs. "
+    "stage_counts caught bending the candidate curve at 5M docs. The "
+    "threshold is the measured cost crossover, not first-collision "
+    "onset: at 5M docs both schemes were swept on the same corpus and "
+    "the 56-vs-20 band-row replication (both sides of the self-join) "
+    "cost 5x more wall time than the 13.5M collision candidates it "
+    "saved — see the SIMHASH_WIDE_N derivation. "
     "Both schemes are complete for Hamming<=3 (pigeonhole, property-"
     "tested), so the verified pair set is identical either way. "
     "Candidate generation is still one EQUI-join on (band_idx, "
