@@ -585,6 +585,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scoped_persist(per_doc)
     cand = _minhash_band_cands(per_doc)
+    # Deliberately not hinted shuffle_hash: the build side here
+    # carries sh_set — variable-size shingle ARRAYS, ~KBs/doc and
+    # corpus-dependent — and Spark's shuffled-hash build cannot spill,
+    # so a hot partition of fat documents is an executor OOM at scale.
+    # Sort-merge spills gracefully (SCALE_r08: 7.9 GiB disk spill at
+    # x1000, alpha still 0.94). The same hint was also measured to
+    # LOSE on the fixed-width quantized-vector verify join
+    # (NEARDUP_SHJ_AB.json), so neither verify path hints.
     sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     jac = tx.jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -1004,6 +1012,21 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for r ≤ 16 with 8 bands.
 NEARDUP_BANDS = 8
 
+# MEASURED OUT (round 8, NEARDUP_SHJ_AB.json): hinting SHUFFLE_HASH
+# on the vector side of the verify joins — the "never sort the 139M-
+# row candidate stream" shape that SCALE_r08's 26.6 GiB x1000 disk
+# spill suggested — LOST the interleaved A/B at both active decades
+# (best-of-2: x100 22.9 s SMJ vs 52.7 s SHJ; x1000 226 s vs 282 s).
+# The sort spill is sequential-write/read and overlaps the join,
+# while the hash build pays its memory pressure in the probe hot
+# loop; and a hint outranks size-based broadcast in JoinSelection, so
+# gating it was mandatory complexity. The default planner shape
+# (broadcast when the vector table fits, else sort-merge with
+# graceful spill) stays. NEARDUP_VERIFY_HINT is a measurement hook
+# for `tools/neardup_shj_ab.py` to re-take that A/B — production code
+# never sets it.
+NEARDUP_VERIFY_HINT: str | None = None
+
 
 @register(
     "x_embed_cosine_neardup",
@@ -1056,6 +1079,12 @@ WHERE round(CAST(list_aggregate(list_transform(generate_series(1, len(a.qv)),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs, cand = _neardup_cands(spark, sf_dir)
+    # No join-strategy hint here, deliberately: see the MEASURED OUT
+    # note above NEARDUP_BANDS — the shuffle-hash verify shape lost
+    # the round-8 A/B at x100 and x1000 despite avoiding the sort
+    # spill, so the planner's broadcast/SMJ default stands.
+    if NEARDUP_VERIFY_HINT:  # A/B measurement hook only
+        vecs = vecs.hint(NEARDUP_VERIFY_HINT)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("nrm").alias("na")
     )

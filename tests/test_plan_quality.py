@@ -131,3 +131,15 @@ def test_neardup_verify_reads_persisted_tables(spark, sf_dir):
     for name in ("x_dedup_ngram_jaccard", "x_embed_cosine_neardup"):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("InMemoryTableScan") >= 3, name
+
+def test_neardup_verify_keeps_planner_default_join(spark, sf_dir):
+    # Round 8 measured a shuffle-hash hint on the verify joins OUT
+    # (NEARDUP_SHJ_AB.json: SMJ best-of-2 beat the hinted shape at
+    # both x100 and x1000 despite the hint avoiding SCALE_r08's
+    # 26.6 GiB sort spill). Pin the decided shape: no strategy hint —
+    # at the test SF the quantized-vector table is broadcast-sized,
+    # so the verify must plan as broadcast joins, never a hinted
+    # ShuffledHashJoin (a hint would outrank size-based broadcast).
+    plan = _plan(spark, sf_dir, "x_embed_cosine_neardup")
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
