@@ -27,6 +27,85 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# --- spill-aware shuffle sizing -------------------------------------
+# ``spark.sql.shuffle.partitions`` is the one scale knob AQE cannot
+# turn for us: adaptive execution only COALESCES below the configured
+# number (and splits skewed joins), it never raises it. A count pinned
+# at core count therefore makes per-task sort volume grow linearly
+# with the corpus — measured at the x1000 decade (SHUFFLE_PARTS_AB
+# .json, interleaved in-session A/B): the flagship level pipeline ran
+# 159-181 s with 8.8 GiB of sort spill at 32 partitions vs 97-101 s
+# with ZERO spill at 128/256; n-gram Jaccard 104 s with 51 GiB of
+# spill vs 85-90 s with zero. So the engine sizes the configured
+# ceiling from the bytes it has actually loaded — one target-sized
+# input slice per partition — and lets AQE coalesce small stages back
+# down. Scans are unaffected (split by files.maxPartitionBytes); this
+# governs post-shuffle reducer counts only.
+#
+# 4 MiB of on-disk parquet per reducer ≈ 32-400 MiB of in-flight
+# shuffle once decompressed and fanned out (the measured level4
+# expansion is ~8x; dedup shingle stages ~60x) — sized so the WORST
+# expansion's per-reducer sort fits a ~1 GiB task execution-memory
+# budget without spilling. The asymmetry makes the target deliberately
+# small: undersizing spills (the measured 51 GiB), oversizing costs
+# only scheduling because AQE coalesces modest stages back down. The
+# cap bounds scheduler overhead in local mode; a real cluster raises
+# it with the executor fleet (it is an upper bound for AQE, so
+# over-provisioning costs only scheduling).
+SHUFFLE_TARGET_INPUT_BYTES = 4 << 20
+SHUFFLE_PARTITIONS_CAP = 4096
+
+_dir_bytes_memo: dict[str, int] = {}
+_loaded_bytes_by_dir: dict[str, dict[str, int]] = {}
+
+
+def _path_bytes(path: str) -> int:
+    if path not in _dir_bytes_memo:
+        total = 0
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        _dir_bytes_memo[path] = total
+    return _dir_bytes_memo[path]
+
+
+def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int:
+    """Record ``path`` (one table of corpus ``sf_dir``) as loaded and
+    size ``spark.sql.shuffle.partitions`` to the corpus bytes seen so
+    far: max(core floor, total_bytes / SHUFFLE_TARGET_INPUT_BYTES),
+    capped. Monotone per corpus dir — a later small-dim load never
+    shrinks the count a fact table established — and re-derived per
+    dir, so stepping from a x1000 corpus back to a test SF returns to
+    the floor. Runtime-settable, so it also hardens externally-built
+    sessions (the correctness driver's) exactly like harden_session.
+    """
+    seen = _loaded_bytes_by_dir.setdefault(sf_dir, {})
+    seen[path] = _path_bytes(path)
+    # the floor is the session's own configured baseline (tests run 8,
+    # build_session defaults to core count, the external driver
+    # session has neither and gets the core-count default)
+    try:
+        floor = int(spark.conf.get("spark.cosmoz.shuffle.floor"))
+    except Exception:
+        floor = max(default_parallelism(), 8)
+    want = min(
+        SHUFFLE_PARTITIONS_CAP,
+        max(floor, sum(seen.values()) // SHUFFLE_TARGET_INPUT_BYTES),
+    )
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) != want:
+            spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    except Exception:
+        pass  # immutable in this session (never on stock Spark)
+    return want
+
+
 def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
@@ -43,6 +122,9 @@ def build_session(
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # baseline for scale_shuffle_partitions: never size below the
+        # caller's explicit choice, always return to it on small dirs
+        .config("spark.cosmoz.shuffle.floor", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import harden_session
+from ..session import harden_session, scale_shuffle_partitions
 
 TABLE_NAMES = (
     "region",
@@ -39,7 +39,11 @@ _NANOS_COLS = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     harden_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    # spill-aware: size the shuffle-partition ceiling to the corpus
+    # bytes loaded so far (AQE coalesces back down; see session.py)
+    scale_shuffle_partitions(spark, sf_dir, path)
+    df = spark.read.parquet(path)
     for col in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             # integer division keeps full precision (ns beyond 2^53);

@@ -1,0 +1,85 @@
+"""Spill-aware shuffle sizing (session.scale_shuffle_partitions).
+
+AQE only coalesces BELOW spark.sql.shuffle.partitions, so the
+configured count is the engine's one upward scale knob; pinning it at
+core count made per-reducer sort volume grow linearly with the corpus
+(SHUFFLE_PARTS_AB.json: level4 at x1000 159 s / 8.8 GiB spill at 32
+partitions vs 98 s / zero spill at 128+). These tests pin the sizing
+CONTRACT — floor on small corpora, bytes-proportional growth, per-dir
+monotonicity, cross-dir reset, cap — against synthetic byte counts so
+they run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cosmoz_data_pipeline_spark import session as S
+
+
+@pytest.fixture()
+def synthetic_bytes(monkeypatch):
+    """Feed scale_shuffle_partitions from a dict instead of the disk,
+    and isolate the per-dir accumulator."""
+    table = {}
+    monkeypatch.setattr(S, "_path_bytes", lambda p: table[p])
+    monkeypatch.setattr(S, "_loaded_bytes_by_dir", {})
+    return table
+
+
+def _conf(spark):
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_small_corpus_stays_at_session_floor(spark, synthetic_bytes):
+    synthetic_bytes["/sf/small.parquet"] = 1 << 20  # 1 MiB
+    got = S.scale_shuffle_partitions(spark, "/sf", "/sf/small.parquet")
+    # conftest builds the session with shuffle_partitions=8; a corpus
+    # below TARGET bytes must not disturb that baseline
+    assert got == 8
+    assert _conf(spark) == 8
+
+
+def test_big_table_scales_and_small_dim_never_shrinks(spark, synthetic_bytes):
+    fact = 512 * S.SHUFFLE_TARGET_INPUT_BYTES
+    synthetic_bytes["/big/events.parquet"] = fact
+    synthetic_bytes["/big/nation.parquet"] = 1 << 10
+    got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+    assert got == 512
+    assert _conf(spark) == 512
+    # the dimension load ADDS to the dir total — it must never pull
+    # the count back toward the floor mid-query
+    got2 = S.scale_shuffle_partitions(spark, "/big", "/big/nation.parquet")
+    assert got2 >= 512
+    # re-loading the fact table is idempotent (dict-keyed, not summed)
+    got3 = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+    assert got3 == got2
+
+
+def test_stepping_back_to_small_dir_resets(spark, synthetic_bytes):
+    synthetic_bytes["/big/events.parquet"] = 512 * S.SHUFFLE_TARGET_INPUT_BYTES
+    synthetic_bytes["/sf/events.parquet"] = 1 << 20
+    S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+    assert _conf(spark) == 512
+    S.scale_shuffle_partitions(spark, "/sf", "/sf/events.parquet")
+    assert _conf(spark) == 8  # bench/test SFs see their session default
+
+
+def test_cap_bounds_local_mode(spark, synthetic_bytes):
+    synthetic_bytes["/huge/events.parquet"] = (
+        10 * S.SHUFFLE_PARTITIONS_CAP * S.SHUFFLE_TARGET_INPUT_BYTES
+    )
+    got = S.scale_shuffle_partitions(spark, "/huge", "/huge/events.parquet")
+    assert got == S.SHUFFLE_PARTITIONS_CAP
+    # leave the session back at its floor for whoever runs next
+    synthetic_bytes["/sf/t.parquet"] = 1
+    S.scale_shuffle_partitions(spark, "/sf", "/sf/t.parquet")
+
+
+def test_real_testdata_dir_stays_at_floor(spark, sf_dir):
+    # the actual sf0.001/sf0.01 corpora are far below one TARGET slice
+    # per core: loading them must leave the test session at its 8
+    from cosmoz_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events")
+    assert _conf(spark) == 8
