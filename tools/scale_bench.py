@@ -85,7 +85,7 @@ from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.scale_corpus import ALL_TABLES, BASE_EVENTS, ensure_corpus  # noqa: E402
 
-OUT_NAME = "SCALE_r08.json"
+OUT_NAME = os.environ.get("SCALE_OUT", "SCALE_r08.json")
 
 QUERIES = (
     "level4",
@@ -185,6 +185,17 @@ def _cold(spark) -> None:
     catalog_ext._EMB_AUG_COUNT.clear()
     catalog_ext._DOCS_AUG_COUNT.clear()
     catalog_ext._AUG_OFF.clear()
+    # Shuffle files are only reclaimed when ContextCleaner sees the
+    # ShuffleDependency objects garbage-collected — and a 64 GiB-heap
+    # driver can go the whole sweep without a single full GC, so dead
+    # shuffle temp accumulates across queries and decades (~100 GB by
+    # the late x1000 runs; it filled the disk and killed a sweep).
+    # Force the JVM GC between cold runs so each run's footprint is
+    # its own live shuffle, not the session's history.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2):
@@ -332,13 +343,24 @@ def main() -> None:
                 f"x{mult}": c for (_, mult), c in zip(q_corpora, counts)
             }
         out[name] = entry
+        # checkpoint after EVERY query, merging with whatever is on
+        # disk — a crash late in the sweep (the x1000 decades run last
+        # and are the fragile ones) must not lose the finished queries
+        _write_artifact(out)
 
+    _write_artifact(out)
+
+
+def _write_artifact(out: dict[str, dict]) -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
     )
-    if only and os.path.exists(out_path):  # merge a partial run
-        with open(out_path) as f:
-            prev = json.load(f).get("queries", {})
+    if os.path.exists(out_path):  # merge partial/resumed runs
+        try:
+            with open(out_path) as f:
+                prev = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            prev = {}
         prev.update(out)
         out = {k: prev[k] for k in QUERIES if k in prev}
     result = {
@@ -355,8 +377,10 @@ def main() -> None:
         "(same signatures+banding); components edges == 2x simhash rows",
         "queries": out,
     }
-    with open(out_path, "w") as f:
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(result, f, indent=2)
+    os.replace(tmp, out_path)  # atomic: a crash mid-write keeps the old file
     print(json.dumps(result))
 
 
