@@ -83,3 +83,26 @@ def test_real_testdata_dir_stays_at_floor(spark, sf_dir):
 
     load_table(spark, sf_dir, "events")
     assert _conf(spark) == 8
+
+
+@pytest.mark.scale_gate
+def test_real_scale_corpus_raises_ceiling(spark):
+    # against the REAL x100 corpus (the scale_gate fixture dir) the
+    # sizing must actually engage: events alone is ~170 MB, so the
+    # configured ceiling must rise well above the 8-partition test
+    # floor — this is the integration half of the synthetic contract
+    # tests above
+    import os
+
+    d = "/tmp/cosmoz_scale_x100"
+    if not os.path.isdir(os.path.join(d, "events.parquet")):
+        pytest.skip("x100 scale corpus not on disk (tools/scale_corpus.py)")
+    from cosmoz_data_pipeline_spark import session as S
+    from cosmoz_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, d, "events")
+    got = _conf(spark)
+    assert got >= 170 * (1 << 20) // S.SHUFFLE_TARGET_INPUT_BYTES // 2, got
+    # and stepping back to the tiny fixture corpus restores the floor
+    load_table(spark, "/root/testdata/sf0.001", "events")
+    assert _conf(spark) == 8
