@@ -85,6 +85,13 @@ def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int
     the floor. Runtime-settable, so it also hardens externally-built
     sessions (the correctness driver's) exactly like harden_session.
     """
+    try:
+        # measurement off-switch: the partition-count A/B tool forces
+        # explicit counts and must not be second-guessed mid-query
+        if spark.conf.get("spark.cosmoz.shuffle.autosize", "true") == "false":
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        pass
     seen = _loaded_bytes_by_dir.setdefault(sf_dir, {})
     seen[path] = _path_bytes(path)
     # the floor is the session's own configured baseline (tests run 8,

@@ -76,6 +76,19 @@ def test_cap_bounds_local_mode(spark, synthetic_bytes):
     S.scale_shuffle_partitions(spark, "/sf", "/sf/t.parquet")
 
 
+def test_autosize_off_switch(spark, synthetic_bytes):
+    synthetic_bytes["/big/events.parquet"] = 512 * S.SHUFFLE_TARGET_INPUT_BYTES
+    spark.conf.set("spark.cosmoz.shuffle.autosize", "false")
+    try:
+        got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+        # forced-count measurement mode: the sizing must not touch the
+        # session conf, whatever the corpus bytes say
+        assert got == 8
+        assert _conf(spark) == 8
+    finally:
+        spark.conf.set("spark.cosmoz.shuffle.autosize", "true")
+
+
 def test_real_testdata_dir_stays_at_floor(spark, sf_dir):
     # the actual sf0.001/sf0.01 corpora are far below one TARGET slice
     # per core: loading them must leave the test session at its 8

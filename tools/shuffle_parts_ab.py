@@ -36,6 +36,10 @@ DEFAULT_QUERIES = ("level4", "x_dedup_ngram_jaccard")
 
 
 def _one(spark, name: str, sf_dir: str, parts: int):
+    # pin the variant: the engine's own corpus-byte sizing (round 8,
+    # session.scale_shuffle_partitions) would otherwise override the
+    # forced count at load time
+    spark.conf.set("spark.cosmoz.shuffle.autosize", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     _cold(spark)
     hwm = _stage_hwm(spark)
@@ -113,6 +117,19 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SHUFFLE_PARTS_AB.json",
     )
+    if os.path.exists(path):  # merge: later runs add corpora/queries
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            for corpus, per_q in out["corpora"].items():
+                prev.setdefault("corpora", {}).setdefault(corpus, {}).update(per_q)
+            prev["repeats"] = repeats
+            if sorted(prev.get("parts", [])) != sorted(parts):
+                # runs may probe different counts; record the union
+                prev["parts"] = sorted(set(prev.get("parts", [])) | set(parts))
+            out = prev
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
