@@ -55,24 +55,93 @@ def default_parallelism() -> int:
 SHUFFLE_TARGET_INPUT_BYTES = 4 << 20
 SHUFFLE_PARTITIONS_CAP = 4096
 
-_dir_bytes_memo: dict[str, int] = {}
+# memo keyed on (path, mtime-token): a long-lived session over a
+# growing table (the incremental writer, a regenerated scale corpus)
+# re-sizes its next shuffle from today's bytes instead of yesterday's.
+_dir_bytes_memo: dict[tuple[str, int], int] = {}
 _loaded_bytes_by_dir: dict[str, dict[str, int]] = {}
+_warned_unsizable: set[str] = set()
 
 
-def _path_bytes(path: str) -> int:
-    if path not in _dir_bytes_memo:
-        total = 0
-        if os.path.isfile(path):
-            total = os.path.getsize(path)
-        else:
-            for root, _dirs, files in os.walk(path):
-                for fn in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, fn))
-                    except OSError:
-                        pass
-        _dir_bytes_memo[path] = total
-    return _dir_bytes_memo[path]
+def _local_mtime_token(path: str) -> int | None:
+    """Top-level mtime (ns) of a local path, or None if not statable.
+
+    Appending/overwriting files in a directory bumps the directory's
+    own mtime, which is exactly the invalidation signal we need; file
+    content rewrites bump the file's. Nested-partition appends touch
+    the leaf dir, not the root — acceptable staleness for a sizing
+    heuristic whose failure mode is a few extra (AQE-coalesced)
+    partitions, and the incremental writer appends at the top level.
+    """
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+
+
+def _local_walk_bytes(path: str) -> int:
+    total = 0
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def _hadoop_content_summary(spark: SparkSession, path: str):
+    """(bytes, mtime_ms) of ``path`` via the JVM Hadoop FileSystem, or
+    None if the scheme is unresolvable / the path does not exist.
+
+    This is the cluster-real sizing path: ``os.walk`` on an
+    ``hdfs://`` or ``s3a://`` URI silently yields nothing, which would
+    collapse the partition ceiling to the session floor — the exact
+    32-partition shape SHUFFLE_PARTS_AB.json measured at 1.6x wall and
+    8.8 GiB of spill. ``Path.getFileSystem`` resolves any scheme the
+    deployment's Hadoop conf knows (file:, hdfs:, s3a:, gs:, abfs:).
+    """
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        length = int(fs.getContentSummary(hpath).getLength())
+        mtime = int(fs.getFileStatus(hpath).getModificationTime())
+        return length, mtime
+    except Exception:
+        return None
+
+
+def _path_bytes(path: str, spark: SparkSession | None = None) -> int:
+    mtime = _local_mtime_token(path)
+    if mtime is not None:  # local fast path: stat + walk, no JVM call
+        key = (path, mtime)
+        if key not in _dir_bytes_memo:
+            _dir_bytes_memo[key] = _local_walk_bytes(path)
+        return _dir_bytes_memo[key]
+    # not a local filesystem path (scheme URI, or local-but-vanished):
+    # size through the Hadoop FileSystem the session actually reads with
+    if spark is not None:
+        summary = _hadoop_content_summary(spark, path)
+        if summary is not None:
+            total, hmtime = summary
+            _dir_bytes_memo[(path, hmtime)] = total
+            return total
+    if path not in _warned_unsizable:
+        _warned_unsizable.add(path)
+        import sys
+
+        print(
+            f"cosmoz: WARNING could not size {path!r} (no local stat, "
+            "Hadoop FS unresolvable) - shuffle-partition ceiling stays "
+            "at the session floor; large corpora may spill",
+            file=sys.stderr,
+        )
+    return 0
 
 
 def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int:
@@ -85,6 +154,10 @@ def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int
     the floor. Runtime-settable, so it also hardens externally-built
     sessions (the correctness driver's) exactly like harden_session.
     """
+    # record the load FIRST so tables seen while autosize is off still
+    # count toward the dir total once it is re-enabled
+    seen = _loaded_bytes_by_dir.setdefault(sf_dir, {})
+    seen[path] = _path_bytes(path, spark)
     try:
         # measurement off-switch: the partition-count A/B tool forces
         # explicit counts and must not be second-guessed mid-query
@@ -92,8 +165,6 @@ def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int
             return int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         pass
-    seen = _loaded_bytes_by_dir.setdefault(sf_dir, {})
-    seen[path] = _path_bytes(path)
     # the floor is the session's own configured baseline (tests run 8,
     # build_session defaults to core count, the external driver
     # session has neither and gets the core-count default)
@@ -101,9 +172,15 @@ def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int
         floor = int(spark.conf.get("spark.cosmoz.shuffle.floor"))
     except Exception:
         floor = max(default_parallelism(), 8)
-    want = min(
-        SHUFFLE_PARTITIONS_CAP,
-        max(floor, sum(seen.values()) // SHUFFLE_TARGET_INPUT_BYTES),
+    # the cap bounds only the byte-derived term: a caller whose
+    # explicit floor exceeds the local-mode cap (a real cluster fleet)
+    # must never be clamped below its own choice
+    want = max(
+        floor,
+        min(
+            SHUFFLE_PARTITIONS_CAP,
+            sum(seen.values()) // SHUFFLE_TARGET_INPUT_BYTES,
+        ),
     )
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) != want:

@@ -22,7 +22,7 @@ def synthetic_bytes(monkeypatch):
     """Feed scale_shuffle_partitions from a dict instead of the disk,
     and isolate the per-dir accumulator."""
     table = {}
-    monkeypatch.setattr(S, "_path_bytes", lambda p: table[p])
+    monkeypatch.setattr(S, "_path_bytes", lambda p, spark=None: table[p])
     monkeypatch.setattr(S, "_loaded_bytes_by_dir", {})
     return table
 
@@ -85,8 +85,90 @@ def test_autosize_off_switch(spark, synthetic_bytes):
         # session conf, whatever the corpus bytes say
         assert got == 8
         assert _conf(spark) == 8
+        # but the load is still RECORDED: once autosize returns, the
+        # dir total must include tables seen while it was off
+        assert S._loaded_bytes_by_dir["/big"]["/big/events.parquet"] == (
+            512 * S.SHUFFLE_TARGET_INPUT_BYTES
+        )
     finally:
         spark.conf.set("spark.cosmoz.shuffle.autosize", "true")
+    got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+    assert got == 512
+    # restore the floor for whoever runs next
+    synthetic_bytes["/sf/t.parquet"] = 1
+    S.scale_shuffle_partitions(spark, "/sf", "/sf/t.parquet")
+
+
+def test_floor_above_cap_never_clamped(spark, synthetic_bytes):
+    # a cluster session may legitimately configure a floor above the
+    # local-mode cap; the cap bounds only the byte-derived term
+    synthetic_bytes["/big/events.parquet"] = 512 * S.SHUFFLE_TARGET_INPUT_BYTES
+    spark.conf.set("spark.cosmoz.shuffle.floor", str(S.SHUFFLE_PARTITIONS_CAP * 2))
+    try:
+        got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
+        assert got == S.SHUFFLE_PARTITIONS_CAP * 2
+    finally:
+        spark.conf.set("spark.cosmoz.shuffle.floor", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_hadoop_fs_sizes_scheme_uri(spark, tmp_path):
+    # the cluster-real path: a scheme URI os.walk cannot see is sized
+    # through the JVM Hadoop FileSystem (file: locally stands in for
+    # hdfs:/s3a: — same API, same resolution path)
+    data = tmp_path / "t.parquet"
+    data.mkdir()
+    (data / "part-0").write_bytes(b"x" * 4096)
+    (data / "part-1").write_bytes(b"y" * 1024)
+    got = S._path_bytes("file://" + str(data), spark)
+    assert got == 5120
+
+
+def test_unsizable_path_warns_once(spark, capsys):
+    S._warned_unsizable.discard("file:///nonexistent/cosmoz/t.parquet")
+    got = S._path_bytes("file:///nonexistent/cosmoz/t.parquet", spark)
+    assert got == 0
+    assert "could not size" in capsys.readouterr().err
+    # second call is silent (once per path per process)
+    got = S._path_bytes("file:///nonexistent/cosmoz/t.parquet", spark)
+    assert got == 0
+    assert "could not size" not in capsys.readouterr().err
+
+
+def test_memo_invalidates_on_dir_growth(tmp_path):
+    data = tmp_path / "grow.parquet"
+    data.mkdir()
+    (data / "part-0").write_bytes(b"x" * 1024)
+    assert S._path_bytes(str(data)) == 1024
+    (data / "part-1").write_bytes(b"y" * 2048)
+    # force a distinct dir mtime even on coarse-resolution filesystems
+    st = data.stat()
+    import os
+
+    os.utime(data, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert S._path_bytes(str(data)) == 3072
+
+
+def test_ceiling_rises_when_table_grows(spark, tmp_path, monkeypatch):
+    # integration of the two: a session that appends to a table
+    # re-sizes its next shuffle without a session rebuild
+    monkeypatch.setattr(S, "SHUFFLE_TARGET_INPUT_BYTES", 1024)
+    monkeypatch.setattr(S, "_loaded_bytes_by_dir", {})
+    data = tmp_path / "events.parquet"
+    data.mkdir()
+    (data / "part-0").write_bytes(b"x" * 64 * 1024)
+    try:
+        got = S.scale_shuffle_partitions(spark, str(tmp_path), str(data))
+        assert got == 64
+        (data / "part-1").write_bytes(b"y" * 64 * 1024)
+        st = data.stat()
+        import os
+
+        os.utime(data, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        got = S.scale_shuffle_partitions(spark, str(tmp_path), str(data))
+        assert got == 128
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
 
 
 def test_real_testdata_dir_stays_at_floor(spark, sf_dir):

@@ -89,6 +89,7 @@ OUT_NAME = os.environ.get("SCALE_OUT", "SCALE_r08.json")
 
 QUERIES = (
     "level4",
+    "level4_sort_floor",
     "x_dedup_simhash_pairs",
     "x_dedup_components",
     "x_dedup_minhash_lsh",
@@ -119,6 +120,7 @@ X1000_QUERIES = {
     "x_embed_cosine_neardup",
     "x_dedup_components",
     "level4",
+    "level4_sort_floor",
     "st1_write_path",
 }
 

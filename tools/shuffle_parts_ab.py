@@ -113,6 +113,9 @@ def main() -> None:
             out["corpora"][f"x{mult}"] = per_q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        # _one disables the engine's autosize per run; restore it so a
+        # shared/long-lived session gets its spill-aware sizing back
+        spark.conf.set("spark.cosmoz.shuffle.autosize", "true")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SHUFFLE_PARTS_AB.json",
