@@ -1027,6 +1027,68 @@ NEARDUP_BANDS = 8
 # never sets it.
 NEARDUP_VERIFY_HINT: str | None = None
 
+# Coarse pre-verify screen (round-9 A/B hook, tools/neardup_prescreen
+# _ab.py): before the exact int32-vector verify join, join candidates
+# against a SLIM per-vector row (first-H quantized components + tail
+# norm + full norm) and keep only pairs whose Cauchy-Schwarz upper
+# bound (head_dot + tail_norm_a*tail_norm_b) / (nrm_a*nrm_b) can still
+# reach the 0.9 threshold. The bound is EXACT over the quantized
+# integers (head dot exact in int64; the tail bound is Cauchy-Schwarz,
+# never an estimate), so the screened pair set is a provable superset
+# of the output pair set — a physical optimization, not a semantic
+# one; the oracle SQL is untouched and pair-set identity is pinned by
+# tests/test_neardup_prescreen.py. Motivation: at x1000, 139 M
+# candidates verify down to 618 k pairs (99.6 % discarded) while the
+# verify join ships the full 64-int vector per side; the slim row is
+# ~3x narrower. 0 = off.
+NEARDUP_PRESCREEN_HEAD: int = 0
+# keep every pair the exact verify could keep: round(c,6) >= 0.9 means
+# c >= 0.8999995; the bound's own floating error is ~1e-15 relative,
+# so a 5e-7 slack is orders of magnitude more than safe
+_PRESCREEN_KEEP = 0.899999
+
+
+def _neardup_prescreen(vecs: DataFrame, cand: DataFrame, h: int) -> DataFrame:
+    """Candidate pairs that survive the head/tail-norm upper bound —
+    see NEARDUP_PRESCREEN_HEAD. ``vecs`` is the persisted
+    (vec_id, qv, nrm) table; only the slim projection of it is
+    shuffled here."""
+    head = F.slice("qv", 1, h)
+    slim = vecs.select(
+        "vec_id",
+        head.alias("qh"),
+        "nrm",
+        F.sqrt(
+            F.greatest(
+                F.col("nrm") * F.col("nrm")
+                - sim.idot(head, head).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("tn"),
+    )
+    sa = slim.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qh").alias("ha"),
+        F.col("nrm").alias("sna"),
+        F.col("tn").alias("ta"),
+    )
+    sb = slim.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qh").alias("hb"),
+        F.col("nrm").alias("snb"),
+        F.col("tn").alias("tb"),
+    )
+    ub = (
+        sim.idot(F.col("ha"), F.col("hb")).cast("double")
+        + F.col("ta") * F.col("tb")
+    ) / (F.col("sna") * F.col("snb"))
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .where(ub >= F.lit(_PRESCREEN_KEEP))
+        .select("vec_a", "vec_b")
+    )
+
 
 @register(
     "x_embed_cosine_neardup",
@@ -1079,6 +1141,8 @@ WHERE round(CAST(list_aggregate(list_transform(generate_series(1, len(a.qv)),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs, cand = _neardup_cands(spark, sf_dir)
+    if NEARDUP_PRESCREEN_HEAD:  # A/B measurement hook (round 9)
+        cand = _neardup_prescreen(vecs, cand, NEARDUP_PRESCREEN_HEAD)
     # No join-strategy hint here, deliberately: see the MEASURED OUT
     # note above NEARDUP_BANDS — the shuffle-hash verify shape lost
     # the round-8 A/B at x100 and x1000 despite avoiding the sort

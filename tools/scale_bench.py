@@ -246,6 +246,40 @@ def st1_write_run(spark, sf_dir: str) -> tuple[float, int]:
     return dt, rows
 
 
+def sort_floor_run(spark, sf_dir: str) -> tuple[float, int]:
+    """Bare shuffle+sort of level4's input at the same bytes — the
+    O(N log N) floor under the level pipeline's dominant physical op
+    (Window.partitionBy(site_no).orderBy(time) over the wide
+    raw_values table, domain/levels.py raw_to_level1). level4's sized
+    x1000 decade runs alpha=1.087 (SCALE_r08_SIZED.json) and the README
+    attributed the residual over linear to this sort floor by argument;
+    this probe measures the floor's own decade exponent so the residual
+    is level4_alpha - sort_floor_alpha, a number. The sort is forced
+    through a noop write (Catalyst's EliminateSorts would drop a sort
+    under a count), carrying every column level4's first window
+    carries."""
+    from cosmoz_data_pipeline_spark.domain.synth import load_domain
+
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    df = raw.repartition("site_no").sortWithinPartitions("site_no", "time")
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return dt, raw.count()
+
+
+def time_sort_floor(spark, sf_dir: str, runs: int = 2):
+    best, rows, met = math.inf, 0, {}
+    for _ in range(runs):
+        _cold(spark)
+        hwm = _stage_hwm(spark)
+        dt, rows = sort_floor_run(spark, sf_dir)
+        if dt < best:
+            best, met = dt, _metrics_since(spark, hwm)
+    _cold(spark)
+    return round(best, 3), rows, met
+
+
 def time_st1_write(spark, sf_dir: str, runs: int = 2):
     best, rows, met = math.inf, 0, {}
     for _ in range(runs):
@@ -299,8 +333,12 @@ def main() -> None:
         q_corpora = list(corpora)
         if with_x1000 and name in X1000_QUERIES:
             q_corpora.append(X1000)
-        timer = time_st1_write if name == "st1_write_path" else (
-            lambda s, d, _n=name: time_query(s, _n, d)
+        timer = (
+            time_st1_write
+            if name == "st1_write_path"
+            else time_sort_floor
+            if name == "level4_sort_floor"
+            else (lambda s, d, _n=name: time_query(s, _n, d))
         )
         probe = catalog_ext.STAGE_PROBES.get(name)
         times, rows, mets, counts = [], [], [], []
