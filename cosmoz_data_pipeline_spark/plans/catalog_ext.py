@@ -1027,21 +1027,27 @@ NEARDUP_BANDS = 8
 # never sets it.
 NEARDUP_VERIFY_HINT: str | None = None
 
-# Coarse pre-verify screen (round-9 A/B hook, tools/neardup_prescreen
-# _ab.py): before the exact int32-vector verify join, join candidates
-# against a SLIM per-vector row (first-H quantized components + tail
-# norm + full norm) and keep only pairs whose Cauchy-Schwarz upper
-# bound (head_dot + tail_norm_a*tail_norm_b) / (nrm_a*nrm_b) can still
-# reach the 0.9 threshold. The bound is EXACT over the quantized
-# integers (head dot exact in int64; the tail bound is Cauchy-Schwarz,
-# never an estimate), so the screened pair set is a provable superset
-# of the output pair set — a physical optimization, not a semantic
-# one; the oracle SQL is untouched and pair-set identity is pinned by
-# tests/test_neardup_prescreen.py. Motivation: at x1000, 139 M
-# candidates verify down to 618 k pairs (99.6 % discarded) while the
-# verify join ships the full 64-int vector per side; the slim row is
-# ~3x narrower. 0 = off.
-NEARDUP_PRESCREEN_HEAD: int = 0
+# Coarse pre-verify screen (ADOPTED round 9 on an interleaved A/B win,
+# NEARDUP_PRESCREEN_AB.json / tools/neardup_prescreen_ab.py): before
+# the exact int32-vector verify join, candidates join a SLIM
+# per-vector row (first-16 quantized components + tail norm + full
+# norm) and only pairs whose Cauchy-Schwarz upper bound
+# (head_dot + tail_norm_a*tail_norm_b) / (nrm_a*nrm_b) can still
+# reach the 0.9 threshold proceed to the full-vector join. The bound
+# is EXACT over the quantized integers (head dot exact in int64; the
+# tail bound is Cauchy-Schwarz, never an estimate), so the screened
+# pair set is a provable superset of the output pair set — a physical
+# optimization; the oracle SQL is untouched and pair-set identity is
+# pinned by tests/test_neardup_prescreen.py. Why it wins: at x1000,
+# 139 M candidates verify down to 618 k pairs (99.6 % discarded)
+# while the verify join ships the full 64-int vector per side; the
+# slim row is ~3x narrower and the bound eliminates most candidates
+# before they touch the wide join. Measured best-of-2, same session,
+# variants interleaved, identical 617 874 output rows: x1000 262.5 s
+# (off) / 242.9 s (head8) / 191.4 s (head16, 1.37x); x100 20.2 s /
+# 20.8 s / 18.9 s. 0 disables (measurement hook for re-taking the
+# A/B); head8 kept as a variant in the tool only.
+NEARDUP_PRESCREEN_HEAD: int = 16
 # keep every pair the exact verify could keep: round(c,6) >= 0.9 means
 # c >= 0.8999995; the bound's own floating error is ~1e-15 relative,
 # so a 5e-7 slack is orders of magnitude more than safe

@@ -19,13 +19,15 @@ from cosmoz_data_pipeline_spark.plans import REGISTRY, catalog_ext, release_pers
 
 @pytest.fixture()
 def prescreen(request):
-    """Set the screen head width for one test, always restoring 0."""
+    """Set the screen head width for one test, restoring the shipped
+    module default (16 since the round-9 A/B adoption) afterward."""
+    shipped = catalog_ext.NEARDUP_PRESCREEN_HEAD
 
     def _set(h: int):
         catalog_ext.NEARDUP_PRESCREEN_HEAD = h
 
     yield _set
-    catalog_ext.NEARDUP_PRESCREEN_HEAD = 0
+    catalog_ext.NEARDUP_PRESCREEN_HEAD = shipped
 
 
 def _pairs(spark, sf_dir):
@@ -36,6 +38,7 @@ def _pairs(spark, sf_dir):
 
 @pytest.mark.parametrize("head", [8, 16])
 def test_query_output_identical_with_screen(spark, sf_dir, prescreen, head):
+    prescreen(0)  # unscreened reference pair set
     base = _pairs(spark, sf_dir)
     assert base, "corpus must produce near-dup pairs for this test to bite"
     prescreen(head)

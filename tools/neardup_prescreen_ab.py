@@ -1,10 +1,17 @@
 """Interleaved A/B for the neardup coarse pre-verify screen
 (catalog_ext.NEARDUP_PRESCREEN_HEAD hook): times
-x_embed_cosine_neardup with the shipped shape (no screen — every
-candidate pair goes straight to the exact full-vector verify join)
-against head-H Cauchy-Schwarz screens (H = 8, 16) in ONE session,
-alternating variants per repeat so host drift cancels (the protocol
-of tools/neardup_shj_ab.py / bench_ab.py).
+x_embed_cosine_neardup with no screen (every candidate pair goes
+straight to the exact full-vector verify join) against head-H
+Cauchy-Schwarz screens (H = 8, 16) in ONE session, alternating
+variants per repeat so host drift cancels (the protocol of
+tools/neardup_shj_ab.py / bench_ab.py).
+
+Round-9 verdict (NEARDUP_PRESCREEN_AB.json): head16 WON at both
+decades — best-of-2, identical 617 874 output rows per variant:
+x1000 262.5 s (off) / 242.9 s (head8) / 191.4 s (head16, 1.37x);
+x100 20.2 s / 20.8 s / 18.9 s — and is the shipped default
+(NEARDUP_PRESCREEN_HEAD = 16). The tool restores the module default
+on exit and labels the artifact with whichever variant ships.
 
 Motivation (SCALE_r08_SIZED.json): at x1000 the query verifies 139 M
 candidate pairs down to 618 k outputs — 99.6 % of the full-vector
@@ -76,12 +83,16 @@ def main() -> None:
     # same sizing as the scale sweep: the x1000 decade needs the
     # production-executor-like 64 g, and the UI feeds _metrics_since
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    _shipped_head = catalog_ext.NEARDUP_PRESCREEN_HEAD
     spark = build_session(
         app_name="neardup-prescreen-ab", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    shipped = f"head{catalog_ext.NEARDUP_PRESCREEN_HEAD}" if (
+        catalog_ext.NEARDUP_PRESCREEN_HEAD
+    ) else "off"
     out = {"metric": "neardup_prescreen_ab", "unit": "sec", "repeats": repeats,
-           "shipped_variant": "off", "corpora": {}}
+           "shipped_variant": shipped, "corpora": {}}
     try:
         for d, mult in corpora:
             rec = {key: {"t": []} for key, _ in VARIANTS}
@@ -106,7 +117,7 @@ def main() -> None:
             )
             out["corpora"][f"x{mult}"] = rec
     finally:
-        catalog_ext.NEARDUP_PRESCREEN_HEAD = 0
+        catalog_ext.NEARDUP_PRESCREEN_HEAD = _shipped_head
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "NEARDUP_PRESCREEN_AB.json",
