@@ -53,6 +53,29 @@ RAW_PAYLOAD = (
 
 LEVEL1_FIELDS = RAW_PAYLOAD[:-1]  # sans flag (recomputed)
 
+# Round-9 A/B hook (tools/level1_dupw_ab.py): the duplicate-detector
+# window partitions by (site_no, all 15 payload columns) — a 16-field
+# composite sort key whose leading column has 8 distinct values, so
+# Spark's 8-byte sort-prefix comparison resolves almost nothing and
+# every comparison walks the wide key field by field. LEVEL4_STAGES
+# .json localizes the level pipeline's superlinear decade exponent to
+# exactly this stage (level1 prefix: 5.96 s → 79.9 s, alpha=1.127,
+# while the bare site_no sort floor runs alpha=0.722). The variant
+# partitions by (xxhash64(payload), site_no) and orders by
+# (payload struct, time): the 8-byte hash prefix now resolves nearly
+# every comparison, identical payload rows stay CONTIGUOUS within the
+# hash partition (so lag() still walks the same-payload series), and
+# a null-safe struct equality on the lagged row makes hash collisions
+# harmless — two different payloads sharing a hash are separated by
+# the struct sort and fail the equality, so the pair semantics are
+# EXACT, not probabilistic. ADOPTED round 9 on the isolated-stage A/B
+# (LEVEL1_DUPW_AB.json, x1000, 3 repeats interleaved, identical
+# 86 813 180 output rows every run): level1 best-of-3 52.1 s (hash)
+# vs 66.1 s (composite), steady-state 52 s vs 76 s (1.47x); the full
+# level4 pipeline measured 123.9 s vs 128.1 s best-of-2 (downstream
+# stages dilute the stage win). False re-takes the measurement.
+LEVEL1_DUPW_HASH: bool = True
+
 
 def raw_to_level1(raw: DataFrame) -> DataFrame:
     """raw_values → level1: 29-min exact-duplicate drop, first-row
@@ -71,16 +94,41 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
     plain lag over raw order including duplicate rows.
     """
     seq = Window.partitionBy("site_no").orderBy("time")
-    dupw = Window.partitionBy("site_no", *RAW_PAYLOAD).orderBy("time")
-    flagged = (
-        raw.withColumn("prev_count", F.lag("count").over(seq))
-        .withColumn("prev_same_payload_time", F.lag("time").over(dupw))
-        .withColumn(
-            "is_duplicate",
-            F.col("prev_same_payload_time").isNotNull()
-            & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
+    if LEVEL1_DUPW_HASH:
+        # hash-prefixed duplicate window (see LEVEL1_DUPW_HASH): same
+        # groups, same lag series, exact equality — only the physical
+        # sort-key layout changes
+        pay = F.struct(*[F.col(c) for c in RAW_PAYLOAD])
+        dupw = Window.partitionBy(
+            F.xxhash64("site_no", *RAW_PAYLOAD), "site_no"
+        ).orderBy(pay, "time")
+        prev_pay = F.lag(pay).over(dupw)
+        flagged = (
+            raw.withColumn("prev_count", F.lag("count").over(seq))
+            .withColumn(
+                "prev_same_payload_time",
+                F.when(prev_pay.eqNullSafe(pay), F.lag("time").over(dupw)),
+            )
+            .withColumn(
+                "is_duplicate",
+                F.col("prev_same_payload_time").isNotNull()
+                & (
+                    F.col("prev_same_payload_time")
+                    >= F.col("time") - F.expr("INTERVAL 29 MINUTE")
+                ),
+            )
         )
-    )
+    else:
+        dupw = Window.partitionBy("site_no", *RAW_PAYLOAD).orderBy("time")
+        flagged = (
+            raw.withColumn("prev_count", F.lag("count").over(seq))
+            .withColumn("prev_same_payload_time", F.lag("time").over(dupw))
+            .withColumn(
+                "is_duplicate",
+                F.col("prev_same_payload_time").isNotNull()
+                & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
+            )
+        )
     kept = flagged.where(F.col("prev_count").isNotNull() & ~F.col("is_duplicate"))
     return kept.select(
         "time",
