@@ -528,6 +528,40 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MEASURED OUT (round 9, NGRAM_SCREEN_AB.json): a size-ratio
+# pre-verify screen for the exact-Jaccard join — J(A,B) <= min/max of
+# the set sizes, so a pair whose shingle-set sizes differ past the
+# 0.6 threshold can never verify, and sizes are 16 bytes against the
+# KB-scale arrays the verify ships. Sound and output-invariant
+# (tests/test_ngram_screen.py), but it LOST the interleaved A/B at
+# both decades (best-of-2: x100 12.95 s off vs 14.77 s screened;
+# x1000 90.4 s vs 101.6 s): MinHash-banded candidates already agree
+# on >= 3 signature minima, which correlates with similar set sizes,
+# so the screen discards too few pairs to pay for its two extra
+# joins — the exact opposite selectivity regime from the SRP-banded
+# embedding candidates where the head-16 screen (same protocol,
+# NEARDUP_PRESCREEN_HEAD above) discards 99.6 % and won 1.37x. The
+# hook stays for re-measurement on corpora with wider size spread;
+# the 1e-9 slack covers one-ulp division rounding at the threshold.
+NGRAM_SIZE_SCREEN: bool = False
+_NGRAM_KEEP = 0.6 - 1e-9
+
+
+def _ngram_size_screen(per_doc: DataFrame, cand: DataFrame) -> DataFrame:
+    sizes = per_doc.select("doc_id", F.size("sh_set").alias("n"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ratio = F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast(
+        "double"
+    )
+    return (
+        cand.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(ratio >= F.lit(_NGRAM_KEEP))
+        .select("doc_a", "doc_b")
+    )
+
+
 @register(
     "x_dedup_ngram_jaccard",
     f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_SHINGLES_SQL.lstrip()},
@@ -585,6 +619,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scoped_persist(per_doc)
     cand = _minhash_band_cands(per_doc)
+    if NGRAM_SIZE_SCREEN:
+        cand = _ngram_size_screen(per_doc, cand)
     # Deliberately not hinted shuffle_hash: the build side here
     # carries sh_set — variable-size shingle ARRAYS, ~KBs/doc and
     # corpus-dependent — and Spark's shuffled-hash build cannot spill,
