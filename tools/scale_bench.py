@@ -201,13 +201,27 @@ def _cold(spark) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2):
+    # count() shares bench.py's policy (and its round-9-documented
+    # caveat: final-projection expressions a count does not need are
+    # pruned — level4's ±3h collect_list windows). Artifacts stay
+    # comparable across rounds; SPARK_GRAFT_BENCH_FORCE=noop times
+    # full materialization instead (off the comparable record — the
+    # level4_sort_floor/stage-probe pseudo-queries already use noop
+    # writes unconditionally because sorts NEED the forcing).
+    force_noop = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "noop"
     best, rows, met = math.inf, 0, {}
     for _ in range(runs):
         _cold(spark)
         hwm = _stage_hwm(spark)
+        df = REGISTRY[name].run(spark, sf_dir)
         t0 = time.time()
-        rows = REGISTRY[name].run(spark, sf_dir).count()
-        dt = time.time() - t0
+        if force_noop:
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            rows = df.count()
+        else:
+            rows = df.count()
+            dt = time.time() - t0
         if dt < best:
             best, met = dt, _metrics_since(spark, hwm)
     _cold(spark)
