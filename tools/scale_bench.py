@@ -213,8 +213,14 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2):
     for _ in range(runs):
         _cold(spark)
         hwm = _stage_hwm(spark)
-        df = REGISTRY[name].run(spark, sf_dir)
+        # run() MUST stay inside the timer: iterative queries
+        # (x_dedup_components' fix-point loop, IVF training) do their
+        # work eagerly in run(), not in the returned plan — timing
+        # only the final action would miss it (caught round 9: a
+        # refactor that hoisted run() reported components at 0.17 s
+        # instead of ~78 s at x1000)
         t0 = time.time()
+        df = REGISTRY[name].run(spark, sf_dir)
         if force_noop:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
