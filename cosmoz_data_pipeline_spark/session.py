@@ -128,8 +128,11 @@ def _path_bytes(path: str, spark: SparkSession | None = None) -> int:
     if spark is not None:
         summary = _hadoop_content_summary(spark, path)
         if summary is not None:
-            total, hmtime = summary
-            _dir_bytes_memo[(path, hmtime)] = total
+            # no memo for remote paths: knowing whether a cached total
+            # is current would take the same getFileStatus RPC that
+            # getContentSummary already is, so re-stat every load (one
+            # RPC per load_table call — not a hot path)
+            total, _hmtime = summary
             return total
     if path not in _warned_unsizable:
         _warned_unsizable.add(path)
