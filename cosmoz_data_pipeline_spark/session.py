@@ -55,12 +55,20 @@ def default_parallelism() -> int:
 SHUFFLE_TARGET_INPUT_BYTES = 4 << 20
 SHUFFLE_PARTITIONS_CAP = 4096
 
-# memo keyed on (path, mtime-token): a long-lived session over a
-# growing table (the incremental writer, a regenerated scale corpus)
-# re-sizes its next shuffle from today's bytes instead of yesterday's.
-_dir_bytes_memo: dict[tuple[str, int], int] = {}
+# memo: path -> (mtime-token, bytes). The token keys *validation*,
+# not the dict — a long-lived session over a growing table (the
+# incremental writer, a regenerated scale corpus) overwrites the
+# entry on mtime change instead of accumulating one stale entry per
+# observed mtime, so the memo is bounded by the number of distinct
+# paths ever loaded.
+_dir_bytes_memo: dict[str, tuple[object, int]] = {}
 _loaded_bytes_by_dir: dict[str, dict[str, int]] = {}
 _warned_unsizable: set[str] = set()
+
+# sentinel for a path recorded while autosize was off: no sizing I/O
+# may run inside a timed A/B region, so the walk/RPC is deferred to
+# the next autosize-enabled call
+_DEFERRED = -1
 
 
 def _local_mtime_token(path: str) -> int | None:
@@ -92,9 +100,10 @@ def _local_walk_bytes(path: str) -> int:
     return total
 
 
-def _hadoop_content_summary(spark: SparkSession, path: str):
-    """(bytes, mtime_ms) of ``path`` via the JVM Hadoop FileSystem, or
-    None if the scheme is unresolvable / the path does not exist.
+def _hadoop_stat(spark: SparkSession, path: str):
+    """(fs, hpath, mtime_ms) of ``path`` via the JVM Hadoop
+    FileSystem, or None if the scheme is unresolvable / the path does
+    not exist. One cheap getFileStatus RPC — the memo validator.
 
     This is the cluster-real sizing path: ``os.walk`` on an
     ``hdfs://`` or ``s3a://`` URI silently yields nothing, which would
@@ -109,9 +118,7 @@ def _hadoop_content_summary(spark: SparkSession, path: str):
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return None
-        length = int(fs.getContentSummary(hpath).getLength())
-        mtime = int(fs.getFileStatus(hpath).getModificationTime())
-        return length, mtime
+        return fs, hpath, int(fs.getFileStatus(hpath).getModificationTime())
     except Exception:
         return None
 
@@ -119,21 +126,37 @@ def _hadoop_content_summary(spark: SparkSession, path: str):
 def _path_bytes(path: str, spark: SparkSession | None = None) -> int:
     mtime = _local_mtime_token(path)
     if mtime is not None:  # local fast path: stat + walk, no JVM call
-        key = (path, mtime)
-        if key not in _dir_bytes_memo:
-            _dir_bytes_memo[key] = _local_walk_bytes(path)
-        return _dir_bytes_memo[key]
+        hit = _dir_bytes_memo.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        total = _local_walk_bytes(path)
+        _dir_bytes_memo[path] = (mtime, total)
+        return total
     # not a local filesystem path (scheme URI, or local-but-vanished):
-    # size through the Hadoop FileSystem the session actually reads with
+    # size through the Hadoop FileSystem the session actually reads
+    # with. getContentSummary is NOT a cheap call at deployment scale
+    # (recursive NameNode traversal on HDFS; full client-side prefix
+    # listing, O(objects), on S3A/GCS) — so it runs only on memo
+    # miss/staleness, validated by one getFileStatus RPC per load.
+    # Directory mtime moves when direct children change, not on
+    # nested-partition appends — the same acceptable-staleness caveat
+    # as the local token, and the incremental writer appends at the
+    # top level.
     if spark is not None:
-        summary = _hadoop_content_summary(spark, path)
-        if summary is not None:
-            # no memo for remote paths: knowing whether a cached total
-            # is current would take the same getFileStatus RPC that
-            # getContentSummary already is, so re-stat every load (one
-            # RPC per load_table call — not a hot path)
-            total, _hmtime = summary
-            return total
+        st = _hadoop_stat(spark, path)
+        if st is not None:
+            fs, hpath, hmtime = st
+            token = ("hadoop", hmtime)
+            hit = _dir_bytes_memo.get(path)
+            if hit is not None and hit[0] == token:
+                return hit[1]
+            try:
+                total = int(fs.getContentSummary(hpath).getLength())
+            except Exception:
+                total = None
+            if total is not None:
+                _dir_bytes_memo[path] = (token, total)
+                return total
     if path not in _warned_unsizable:
         _warned_unsizable.add(path)
         import sys
@@ -158,16 +181,24 @@ def scale_shuffle_partitions(spark: SparkSession, sf_dir: str, path: str) -> int
     sessions (the correctness driver's) exactly like harden_session.
     """
     # record the load FIRST so tables seen while autosize is off still
-    # count toward the dir total once it is re-enabled
+    # count toward the dir total once it is re-enabled — but with NO
+    # sizing I/O while it is off: the A/B tools disable autosize
+    # precisely so nothing walks a directory or issues a Hadoop RPC
+    # inside a timed measurement region. The path is stashed with a
+    # deferred sentinel and sized on the next enabled call.
     seen = _loaded_bytes_by_dir.setdefault(sf_dir, {})
-    seen[path] = _path_bytes(path, spark)
     try:
         # measurement off-switch: the partition-count A/B tool forces
         # explicit counts and must not be second-guessed mid-query
         if spark.conf.get("spark.cosmoz.shuffle.autosize", "true") == "false":
+            seen.setdefault(path, _DEFERRED)
             return int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         pass
+    seen[path] = _DEFERRED
+    for p, b in list(seen.items()):
+        if b == _DEFERRED:
+            seen[p] = _path_bytes(p, spark)
     # the floor is the session's own configured baseline (tests run 8,
     # build_session defaults to core count, the external driver
     # session has neither and gets the core-count default)

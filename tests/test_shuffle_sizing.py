@@ -76,8 +76,13 @@ def test_cap_bounds_local_mode(spark, synthetic_bytes):
     S.scale_shuffle_partitions(spark, "/sf", "/sf/t.parquet")
 
 
-def test_autosize_off_switch(spark, synthetic_bytes):
+def test_autosize_off_switch(spark, synthetic_bytes, monkeypatch):
     synthetic_bytes["/big/events.parquet"] = 512 * S.SHUFFLE_TARGET_INPUT_BYTES
+    calls = []
+    real = S._path_bytes
+    monkeypatch.setattr(
+        S, "_path_bytes", lambda p, spark=None: calls.append(p) or real(p)
+    )
     spark.conf.set("spark.cosmoz.shuffle.autosize", "false")
     try:
         got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
@@ -85,15 +90,17 @@ def test_autosize_off_switch(spark, synthetic_bytes):
         # session conf, whatever the corpus bytes say
         assert got == 8
         assert _conf(spark) == 8
-        # but the load is still RECORDED: once autosize returns, the
-        # dir total must include tables seen while it was off
-        assert S._loaded_bytes_by_dir["/big"]["/big/events.parquet"] == (
-            512 * S.SHUFFLE_TARGET_INPUT_BYTES
-        )
+        # the load is RECORDED but NOT SIZED: no walk/RPC may run
+        # inside a timed A/B region, so the path carries the deferred
+        # sentinel and zero _path_bytes calls happened
+        assert S._loaded_bytes_by_dir["/big"]["/big/events.parquet"] == S._DEFERRED
+        assert calls == []
     finally:
         spark.conf.set("spark.cosmoz.shuffle.autosize", "true")
+    # once autosize returns, the deferred path is sized and counts
     got = S.scale_shuffle_partitions(spark, "/big", "/big/events.parquet")
     assert got == 512
+    assert "/big/events.parquet" in calls
     # restore the floor for whoever runs next
     synthetic_bytes["/sf/t.parquet"] = 1
     S.scale_shuffle_partitions(spark, "/sf", "/sf/t.parquet")
@@ -122,6 +129,33 @@ def test_hadoop_fs_sizes_scheme_uri(spark, tmp_path):
     (data / "part-1").write_bytes(b"y" * 1024)
     got = S._path_bytes("file://" + str(data), spark)
     assert got == 5120
+
+
+def test_hadoop_size_memoized_until_mtime_moves(spark, tmp_path):
+    # getContentSummary is a recursive NameNode traversal on HDFS and
+    # a full O(objects) prefix listing on S3A/GCS — it must run once
+    # per (path, mtime), validated by a single cheap getFileStatus
+    # per load, not on every load_table call
+    import os
+
+    data = tmp_path / "remote.parquet"
+    data.mkdir()
+    (data / "part-0").write_bytes(b"x" * 2048)
+    uri = "file://" + str(data)
+    assert S._path_bytes(uri, spark) == 2048
+    # poison the memo under the CURRENT token: a hit proves the next
+    # call consulted the memo instead of re-running getContentSummary
+    token, _ = S._dir_bytes_memo[uri]
+    S._dir_bytes_memo[uri] = (token, 999)
+    assert S._path_bytes(uri, spark) == 999
+    # bump the dir mtime: the one-stat validator must notice and
+    # re-summarize (overwriting in place — one entry per path, no
+    # unbounded growth across mtimes)
+    (data / "part-1").write_bytes(b"y" * 1024)
+    st = data.stat()
+    os.utime(data, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000_000))
+    assert S._path_bytes(uri, spark) == 3072
+    assert isinstance(S._dir_bytes_memo[uri], tuple)  # single entry, overwritten
 
 
 def test_unsizable_path_warns_once(spark, capsys):

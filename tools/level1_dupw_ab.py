@@ -97,9 +97,13 @@ def main() -> None:
                         rec[key]["run_bytes"] = met
                     print(f"x{mult:<5d} {key:9s} {dt:8.2f}s rows={rows}",
                           flush=True)
-            assert len(rows_seen) == 1, (
-                f"variants disagree on row count: {rows_seen}"
-            )  # the switch is a sort-key layout, never semantic
+            if len(rows_seen) != 1:  # the switch is a sort-key
+                # layout, never semantic; a hard raise (not assert,
+                # which vanishes under python -O) is the measurement
+                # path's only semantic-equivalence guard
+                raise RuntimeError(
+                    f"variants disagree on row count: {rows_seen}"
+                )
             rec["rows"] = rows_seen.pop()
             for key, _ in VARIANTS:
                 rec[key]["best"] = min(rec[key]["t"])

@@ -106,9 +106,12 @@ def main() -> None:
                         rec[key]["run_bytes"] = met
                     print(f"x{mult:<5d} {key:7s} {dt:8.2f}s rows={rows}",
                           flush=True)
-            assert len(rows_seen) == 1, (
-                f"variants disagree on row count: {rows_seen}"
-            )  # the screen is a provable superset filter, never semantic
+            if len(rows_seen) != 1:  # the screen is a provable
+                # superset filter, never semantic; raise (not assert —
+                # asserts vanish under python -O)
+                raise RuntimeError(
+                    f"variants disagree on row count: {rows_seen}"
+                )
             rec["rows"] = rows_seen.pop()
             for key, _ in VARIANTS:
                 rec[key]["best"] = min(rec[key]["t"])

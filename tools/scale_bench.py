@@ -224,12 +224,17 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2):
         if force_noop:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            # capture metrics BEFORE the untimed count: it is a second
+            # full execution whose shuffle/spill must not be attributed
+            # to the timed noop write
+            run_met = _metrics_since(spark, hwm)
             rows = df.count()
         else:
             rows = df.count()
             dt = time.time() - t0
+            run_met = _metrics_since(spark, hwm)
         if dt < best:
-            best, met = dt, _metrics_since(spark, hwm)
+            best, met = dt, run_met
     _cold(spark)
     return round(best, 3), rows, met
 
