@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_both
+from ..operators.bucketed_window import bucketed_auto, bucketed_lag, overlap_buckets
 from . import physics
 
 # payload columns compared by the duplicate detector. The reference
@@ -76,6 +77,40 @@ LEVEL1_FIELDS = RAW_PAYLOAD[:-1]  # sans flag (recomputed)
 # stages dilute the stage win). False re-takes the measurement.
 LEVEL1_DUPW_HASH: bool = True
 
+# Round-10 scale shape (VERDICT r9 task 2): the per-site sequence
+# windows — level1's lag(count) over partitionBy(site_no) and
+# level4's ±3h range frame — are 8-task sorts whose per-task volume
+# grows linearly with per-site history (19.3 GiB mem + 5.5 GiB disk
+# of sort spill in the level1 prefix at x1000, LEVEL4_STAGES.json; no
+# partition count splits a sort keyed on 8 values). The bucketed
+# variants (operators/bucketed_window.py) compute the identical rows
+# through balanced (site, week-bucket) groups plus a tiny boundary
+# exchange. None = auto: engage when the session's corpus-sized
+# shuffle-partition count says the corpus has outgrown the key count
+# (>= 128 partitions ≈ >= 512 MiB loaded — x1000 engages at ~448,
+# sf0.1/x100 keep the fused single-window plan at small scale).
+# Identity pinned variant-vs-variant by tests/test_bucketed_window.py.
+#
+# ADJUDICATED round 10 (tools/level_bucketed_ab.py, interleaved
+# noop-forced, 2 repeats):
+# - LEVEL1_SEQ_BUCKETED: ADOPTED (auto). LEVEL_BUCKETED_AB.json at
+#   x1000: level1 prefix 67.6 s -> 21.5 s (3.14x) with the sort spill
+#   RETIRED (18.0 GiB mem + 5.1 GiB disk -> zero); 1.14x even at
+#   x100; full level4 171.7 s -> 137.3 s (1.25x) riding on it.
+# - LEVEL4_FRAME_BUCKETED: MEASURED OUT (default False). With the
+#   seq win held fixed, the ±3h halo shape LOSES at x1000
+#   (LEVEL_FRAME_AB.json: plain frame 124.6 s vs halo 181.0 s,
+#   identical spill columns): level3's input to the frame is 5
+#   narrow columns, so the 8-task range sort is cheap, while the
+#   halo pays an explode + a second full hash shuffle of the same
+#   rows. The hook stays for a wider-row / denser-cadence deployment
+#   where the per-site frame sort would spill.
+LEVEL1_SEQ_BUCKETED: bool | None = None
+LEVEL4_FRAME_BUCKETED: bool | None = False
+
+# the shared corpus gate lives with the operator
+_bucketed_auto = bucketed_auto
+
 
 def raw_to_level1(raw: DataFrame) -> DataFrame:
     """raw_values → level1: 29-min exact-duplicate drop, first-row
@@ -93,7 +128,17 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
     (:357-360, :389 — duplicates still consume their diff), i.e. a
     plain lag over raw order including duplicate rows.
     """
-    seq = Window.partitionBy("site_no").orderBy("time")
+    bucketed = (
+        _bucketed_auto(raw) if LEVEL1_SEQ_BUCKETED is None else LEVEL1_SEQ_BUCKETED
+    )
+    if bucketed:
+        # scale shape (LEVEL1_SEQ_BUCKETED): identical prev_count
+        # series through balanced (site, week) groups + boundary
+        # exchange instead of the 8-task per-site sort
+        with_prev = bucketed_lag(raw, ["site_no"], "time", ["count"], ["prev_count"])
+    else:
+        seq = Window.partitionBy("site_no").orderBy("time")
+        with_prev = raw.withColumn("prev_count", F.lag("count").over(seq))
     if LEVEL1_DUPW_HASH:
         # hash-prefixed duplicate window (see LEVEL1_DUPW_HASH): same
         # groups, same lag series, exact equality — only the physical
@@ -103,31 +148,25 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
             F.xxhash64("site_no", *RAW_PAYLOAD), "site_no"
         ).orderBy(pay, "time")
         prev_pay = F.lag(pay).over(dupw)
-        flagged = (
-            raw.withColumn("prev_count", F.lag("count").over(seq))
-            .withColumn(
-                "prev_same_payload_time",
-                F.when(prev_pay.eqNullSafe(pay), F.lag("time").over(dupw)),
-            )
-            .withColumn(
-                "is_duplicate",
-                F.col("prev_same_payload_time").isNotNull()
-                & (
-                    F.col("prev_same_payload_time")
-                    >= F.col("time") - F.expr("INTERVAL 29 MINUTE")
-                ),
-            )
+        flagged = with_prev.withColumn(
+            "prev_same_payload_time",
+            F.when(prev_pay.eqNullSafe(pay), F.lag("time").over(dupw)),
+        ).withColumn(
+            "is_duplicate",
+            F.col("prev_same_payload_time").isNotNull()
+            & (
+                F.col("prev_same_payload_time")
+                >= F.col("time") - F.expr("INTERVAL 29 MINUTE")
+            ),
         )
     else:
         dupw = Window.partitionBy("site_no", *RAW_PAYLOAD).orderBy("time")
-        flagged = (
-            raw.withColumn("prev_count", F.lag("count").over(seq))
-            .withColumn("prev_same_payload_time", F.lag("time").over(dupw))
-            .withColumn(
-                "is_duplicate",
-                F.col("prev_same_payload_time").isNotNull()
-                & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
-            )
+        flagged = with_prev.withColumn(
+            "prev_same_payload_time", F.lag("time").over(dupw)
+        ).withColumn(
+            "is_duplicate",
+            F.col("prev_same_payload_time").isNotNull()
+            & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
         )
     kept = flagged.where(F.col("prev_count").isNotNull() & ~F.col("is_duplicate"))
     return kept.select(
@@ -294,23 +333,44 @@ def level3_to_level4(
     """
     valid = level3.where(F.col("flag") == 0)
     secs = F.col("time").cast("long")
-    frame = (
-        Window.partitionBy("site_no").orderBy(secs).rangeBetween(-10801, 10801)
+    bucketed = (
+        _bucketed_auto(level3)
+        if LEVEL4_FRAME_BUCKETED is None
+        else LEVEL4_FRAME_BUCKETED
     )
 
     # one window aggregate per column: materialize the capped frame
     # array ONCE, then fold over the column reference — an expression
     # that inlines slice(collect_list(...)) at each use point would run
     # the window aggregate 3× per column
-    windowed = valid.select(
-        "time",
-        "site_no",
-        "soil_moist",
-        "effective_depth",
-        "rainfall",
-        F.slice(F.collect_list("soil_moist").over(frame), 1, 7).alias("_sm_l"),
-        F.slice(F.collect_list("effective_depth").over(frame), 1, 7).alias("_ed_l"),
-    )
+    def _frame_select(df, frame):
+        return df.select(
+            "time",
+            "site_no",
+            "soil_moist",
+            "effective_depth",
+            "rainfall",
+            *[c for c in ("__own", "__bkt") if c in df.columns],
+            F.slice(F.collect_list("soil_moist").over(frame), 1, 7).alias("_sm_l"),
+            F.slice(F.collect_list("effective_depth").over(frame), 1, 7).alias("_ed_l"),
+        )
+
+    if bucketed:
+        # scale shape (LEVEL4_FRAME_BUCKETED): identical ±3h frames
+        # through (site, week) groups with a ±3h halo of adjacent-
+        # bucket copies; only owner rows are emitted
+        exploded, owner = overlap_buckets(valid, "time", 10801)
+        frame = (
+            Window.partitionBy("site_no", "__bkt")
+            .orderBy(secs)
+            .rangeBetween(-10801, 10801)
+        )
+        windowed = _frame_select(exploded, frame).where(owner).drop("__own", "__bkt")
+    else:
+        frame = (
+            Window.partitionBy("site_no").orderBy(secs).rangeBetween(-10801, 10801)
+        )
+        windowed = _frame_select(valid, frame)
 
     def fold_mean(arr: str, own: str) -> F.Column:
         total = F.aggregate(F.col(arr), F.lit(0.0), lambda acc, x: acc + x)

@@ -53,6 +53,25 @@ def idot(a: Column, b: Column) -> Column:
     )
 
 
+def idot_raw(a: Column, b: Column) -> Column:
+    """Integer dot product fold WITHOUT idot's per-element casts and
+    null-coalescing — for arrays already bigint and structurally
+    null-free (the IVF quantized vectors: fixed 64 dims built by
+    F.array). Null semantics match :func:`l2sq`, not :func:`idot`: a
+    null element (or ragged zip padding) PROPAGATES to a null sum, so
+    the expanded d2 = qq − 2·ab + ww is null exactly when the pairwise
+    fold would be. Measured on 100M 64-dim evaluations
+    (tools/ivf_fold_micro.py, x1000 vectors): 32.6 s vs 39.0 s for
+    the cast+coalesce idot and 37.4 s for the pairwise l2sq fold —
+    the per-element Cast/Coalesce nodes are pure interpreter overhead
+    on bigint input."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
 def quantize(v: Column) -> Column:
     """floor(v * 1e6) as array<int> — the SRP quantization grid, stored
     at int32 width (|v| <= ~0.43 in every corpus, so |q| <= ~4.3e5 fits

@@ -27,6 +27,36 @@ from pyspark.sql import functions as F
 
 _SRC = "__asof_src"
 _ORD = "__asof_ord"
+_BKT = "__asof_bkt"
+
+# Round-10 scale shape (the level2 as-of was the remaining per-site
+# spill after the level1 window was bucketed: the union's
+# partitionBy(site_no) running-last sorts ~12.5M wide rows per task
+# at x1000). Bucketed variant: the SAME union, windowed within
+# (key, week-bucket) — balanced hash groups — plus a per-bucket tail
+# carry: each bucket's last (backward) / first (forward) non-null
+# value row is aggregated map-side, chained through a running
+# last(ignorenulls) over the TINY per-bucket table (earlier buckets
+# for backward, later for forward), broadcast-joined back, and
+# coalesced behind the in-bucket running last. Per-column independent
+# carry matches last(col, ignorenulls)'s per-column semantics; ties
+# at equal time stay INSIDE one bucket (same floor), so the scan-order
+# tie rules are untouched. Identity pinned by
+# tests/test_bucketed_window.py (domain corpus + sparse/null/empty-
+# bucket synthetics). None = auto (bucketed_window.bucketed_auto).
+# ADOPTED round 10 on the interleaved x1000 A/B (LEVEL_ASOF_AB.json,
+# --asof-only: seq bucketing held on, frame at its shipped plain
+# default; bucketed won both interleaved repeats of both stages):
+# level2 prefix 107.4 s -> 89.6 s (1.20x), full level4 111.9 s ->
+# 100.5 s (1.11x) with the pipeline's LAST remaining x1000 spill
+# retired (13.1 GiB mem + 3.6 GiB disk -> zero).
+ASOF_BUCKETED: bool | None = None
+
+
+def _asof_bucketed(df) -> bool:
+    from .bucketed_window import bucketed_auto
+
+    return bucketed_auto(df) if ASOF_BUCKETED is None else ASOF_BUCKETED
 
 
 def asof_join(
@@ -144,6 +174,84 @@ def asof_join_both(
         *[F.col(v).alias(v + "__v") for v in values],
     )
     unioned = lhs.unionByName(rhs)
+
+    if _asof_bucketed(unioned):
+        # scale shape (ASOF_BUCKETED): identical picks through
+        # (key, week-bucket) groups + per-bucket tail carry
+        from .bucketed_window import BUCKET_SECS
+
+        u = unioned.withColumn(
+            _BKT, F.floor(F.col(_ORD).cast("long") / F.lit(BUCKET_SECS)).cast("long")
+        )
+        bw_in = (
+            Window.partitionBy(*on, _BKT)
+            .orderBy(F.col(_ORD).asc(), F.col(_SRC).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # tie-blind forward, same scan order as the plain frame below
+        fw_in = (
+            Window.partitionBy(*on, _BKT)
+            .orderBy(F.col(_ORD).desc(), F.col(_SRC).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # per-bucket tails: latest (bw) / earliest (fw) non-null value
+        # per column — probe rows carry null v__v and never contribute;
+        # the null ordering key makes max_by/min_by skip a row exactly
+        # when last(ignorenulls) would
+        nn = lambda v: F.when(F.col(v + "__v").isNotNull(), F.col(_ORD))  # noqa: E731
+        tails = u.groupBy(*on, _BKT).agg(
+            *[F.max_by(v + "__v", nn(v)).alias(f"__tl_bw_{v}") for v in values],
+            *[F.min_by(v + "__v", nn(v)).alias(f"__tl_fw_{v}") for v in values],
+        )
+        # carry: the nearest non-null tail among STRICTLY earlier
+        # (bw) / later (fw) buckets — a window over the tiny
+        # one-row-per-(key, week) table
+        w_bw = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(_BKT).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_fw = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(_BKT).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = tails.select(
+            *on,
+            _BKT,
+            *[
+                F.last(f"__tl_bw_{v}", ignorenulls=True).over(w_bw).alias(f"__cr_bw_{v}")
+                for v in values
+            ],
+            *[
+                F.last(f"__tl_fw_{v}", ignorenulls=True).over(w_fw).alias(f"__cr_fw_{v}")
+                for v in values
+            ],
+        )
+        picked_in = [
+            F.last(v + "__v", ignorenulls=True).over(bw_in).alias(f"__in_bw_{v}")
+            for v in values
+        ] + [
+            F.last(v + "__v", ignorenulls=True).over(fw_in).alias(f"__in_fw_{v}")
+            for v in values
+        ]
+        resolved = (
+            u.select(*left_cols, _ORD, _SRC, _BKT, *picked_in)
+            .join(F.broadcast(carries), [*on, _BKT], "left")
+            .select(
+                *left_cols,
+                _SRC,
+                *[
+                    F.coalesce(f"__in_bw_{v}", f"__cr_bw_{v}").alias(c)
+                    for v, c in zip(values, bw_cols)
+                ],
+                *[
+                    F.coalesce(f"__in_fw_{v}", f"__cr_fw_{v}").alias(c)
+                    for v, c in zip(values, fw_cols)
+                ],
+            )
+        )
+        return resolved.where(F.col(_SRC) == 1).drop(_SRC)
 
     bw_frame = (
         Window.partitionBy(*on)

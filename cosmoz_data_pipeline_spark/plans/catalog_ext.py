@@ -1423,6 +1423,40 @@ IVF_TWOLEVEL_MIN_K = 64
 # every vector. At the test SFs 256·K ≥ N, so m = 1 and the sample is
 # the whole corpus.
 IVF_TRAIN_PER_CENTROID = 256
+# Round-10 kernel lever (IVF_TRAIN_STAGES.json localized 127 of the
+# 138.5 s x1000 train to the distance folds: add_assign 68.6 s, the
+# three Lloyd sample assignments 58.6 s): compute every candidate
+# distance as d2(a,b) = a·a - 2·a·b + b·b with the self-dots
+# precomputed ONCE per row (qq on the persisted quantized vectors, ww
+# on the K-row centroid table, rr inside the broadcast reps array)
+# instead of a zip_with+aggregate fold per PAIR. The per-pair work
+# drops from two array passes (zip_with materializes a 64-element
+# intermediate, then the sum folds it) to one idot fold; every value
+# is the same exact int64 (|q|<=~4.3e5, 64 dims: each term < 2^39,
+# sums < 2^45 — no overflow anywhere near int64), so Lloyd
+# trajectories, assignments, probes and the DuckDB oracle are
+# bit-identical by arithmetic identity, not by re-verification.
+# The dot itself is the lean null-PROPAGATING idot_raw — the
+# cast+coalesce idot measured SLOWER than the pairwise fold on the
+# isolated kernel (tools/ivf_fold_micro.py on 100M 64-dim evals:
+# l2sq fold 37.4 s, expand+idot 39.0 s, expand+idot_raw 32.6 s; a
+# single-HOF get()-indexed l2sq lost outright at 58.9 s). ADOPTED
+# round 10 on the interleaved A/B (IVF_KERNEL_AB.json, 2 repeats,
+# cold train+add, cross-variant centroid cell-hash identical every
+# run): x1000 best 157.4 s -> 134.9 s (1.167x), x100 25.9 s ->
+# 21.8 s (1.185x); won every interleaved repeat at both decades.
+# Identity pinned on both assignment branches by
+# tests/test_ivf_d2_expand.py.
+IVF_D2_EXPAND: bool = True
+
+
+def _d2_pair(qa: Column, wa: Column, qq: Column, ww: Column) -> Column:
+    """Exact int64 squared L2 via the expanded form (see
+    IVF_D2_EXPAND); falls back to the pairwise fold when the lever is
+    off so the A/B tool can force either shape."""
+    if IVF_D2_EXPAND:
+        return qq - 2 * sim.idot_raw(qa, wa) + ww
+    return sim.l2sq(qa, wa)
 
 
 def _ivf_twolevel_sql(s: str, cent: str, vecs: str) -> list[str]:
@@ -1537,7 +1571,12 @@ def _ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = F.array(
         *[F.floor(v.getItem(i) * IVF_QUANT).cast("bigint") for i in range(EMBED_DIM)]
     )
-    return e.select("vec_id", qa.alias("qa"))
+    out = e.select("vec_id", qa.alias("qa"))
+    if IVF_D2_EXPAND:
+        # self-dot once per row at persist time: one fold per vector
+        # buys one fewer array pass per CANDIDATE (≈100 per vector)
+        out = out.withColumn("qq", sim.idot_raw(F.col("qa"), F.col("qa")))
+    return out
 
 
 def _ivf_distances(qv: DataFrame, cent_df: DataFrame) -> DataFrame:
@@ -1550,6 +1589,13 @@ def _ivf_distances(qv: DataFrame, cent_df: DataFrame) -> DataFrame:
     output rows are *generated*, never shuffled: the argmin that
     always follows folds them map-side (each stream row's K centroid
     partners are produced consecutively in the same task)."""
+    if IVF_D2_EXPAND:
+        cent_df = cent_df.withColumn("ww", sim.idot_raw(F.col("wa"), F.col("wa")))
+        return qv.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "j",
+            _d2_pair(F.col("qa"), F.col("wa"), F.col("qq"), F.col("ww")).alias("d2"),
+        )
     return qv.crossJoin(F.broadcast(cent_df)).select(
         "vec_id",
         "j",
@@ -1574,23 +1620,37 @@ def _ivf_reps_row(cent_df: DataFrame, g: int) -> DataFrame:
     and nearest-group selection becomes a per-row expression on
     whichever side crossJoins it: no shuffle, no window, no extra
     stage beyond the one broadcast."""
+    rep_struct = (
+        F.struct(
+            F.col("j").alias("gid"),
+            F.col("wa").alias("ra"),
+            sim.idot_raw(F.col("wa"), F.col("wa")).alias("rr"),
+        )
+        if IVF_D2_EXPAND
+        else F.struct(F.col("j").alias("gid"), F.col("wa").alias("ra"))
+    )
     return cent_df.where(F.col("j") < g).agg(
-        F.collect_list(
-            F.struct(F.col("j").alias("gid"), F.col("wa").alias("ra"))
-        ).alias("reps")
+        F.collect_list(rep_struct).alias("reps")
     )
 
 
-def _top_gids(vec: Column, r: int) -> Column:
+def _top_gids(vec: Column, r: int, self_dot: Column | None = None) -> Column:
     """Expression: the r nearest rep gids for ``vec`` against the
     in-row ``reps`` array (fold distance + array_sort on (d2, gid)
-    structs, ascending = deterministic ties to the lowest gid)."""
+    structs, ascending = deterministic ties to the lowest gid).
+    ``self_dot`` (IVF_D2_EXPAND) is the row's precomputed vec·vec; the
+    rep's is carried in the struct, so each rep distance is one idot
+    fold instead of a zip+fold pair."""
+    if IVF_D2_EXPAND and self_dot is not None:
+        dist = lambda rep: _d2_pair(vec, rep["ra"], self_dot, rep["rr"])  # noqa: E731
+    else:
+        dist = lambda rep: sim.l2sq(vec, rep["ra"])  # noqa: E731
     return F.slice(
         F.array_sort(
             F.transform(
                 F.col("reps"),
                 lambda rep: F.struct(
-                    sim.l2sq(vec, rep["ra"]).alias("d2"),
+                    dist(rep).alias("d2"),
                     rep["gid"].alias("gid"),
                 ),
             )
@@ -1629,6 +1689,33 @@ def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     if g <= 1:
         return _ivf_distances(qv, cent_df)
     reps_row = F.broadcast(_ivf_reps_row(cent_df, g))
+    if IVF_D2_EXPAND:
+        cent_ww = cent_df.withColumn("ww", sim.idot_raw(F.col("wa"), F.col("wa")))
+        cg = F.broadcast(
+            cent_ww.crossJoin(reps_row).select(
+                "j",
+                "wa",
+                "ww",
+                F.when(F.col("j") < g, F.col("j"))
+                .otherwise(
+                    F.element_at(_top_gids(F.col("wa"), 1, F.col("ww")), 1)
+                )
+                .alias("gid"),
+            )
+        )
+        probe = qv.crossJoin(reps_row).select(
+            "vec_id",
+            "qa",
+            "qq",
+            F.explode(
+                _top_gids(F.col("qa"), IVF_GROUP_PROBES, F.col("qq"))
+            ).alias("gid"),
+        )
+        return probe.join(cg, "gid").select(
+            "vec_id",
+            "j",
+            _d2_pair(F.col("qa"), F.col("wa"), F.col("qq"), F.col("ww")).alias("d2"),
+        )
     cg = F.broadcast(
         cent_df.crossJoin(reps_row).select(
             "j",
@@ -1771,6 +1858,59 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     asg_df = _iter_checkpoint(_argmin_cluster(_ivf_candidates(qv, cent_df, k)))
     _IVF_CENTROIDS[key] = (cent_df, k, asg_df)
     return qv, cent_df, k, asg_df
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Durable train/add → search-many (round 10, VERDICT r9 task 4):
+    persist the complete IVF index as Parquet tables a DIFFERENT
+    session can open. The session memo (_IVF_CENTROIDS) amortizes the
+    build within one application; a 100 TB deployment trains once and
+    searches from many sessions, which needs the index on reliable
+    storage:
+
+    - ``<path>/centroids.parquet`` — the K-row coarse quantizer
+      (j, wa);
+    - ``<path>/invlists.parquet`` — the inverted-list assignment,
+      PARTITIONED BY cluster: the layout a probed search prunes on
+      (tests/test_scale_evidence.py asserts the FileScan reads only
+      probed clusters; with the broadcast probe join, dynamic
+      partition pruning does the same for loaded indexes). One
+      directory per cluster is the per-cluster-file faiss on-disk
+      layout; at K=⌊√N⌋≈31.6k dirs for N=10⁹ that is large-but-flat —
+      a deployment that needs fewer objects shards by
+      cluster % n_shards and prunes on the shard, same mechanics.
+    - ``<path>/meta.parquet`` — one row: (k, n_clusters_nonempty),
+      the scalars load needs without scanning.
+
+    Training is deterministic, so writing from a warm memo or a fresh
+    train produces the identical index."""
+    qv, cent_df, k, asg_df = _ivf_train(spark, sf_dir)
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    asg_df.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/invlists.parquet"
+    )
+    spark.createDataFrame([(k,)], "k int").write.mode("overwrite").parquet(
+        f"{path}/meta.parquet"
+    )
+
+
+def load_ivf_index(spark: SparkSession, sf_dir: str, path: str):
+    """Open a written index and seed the session memo, so
+    ``x_ann_ivf_topk_search`` (and anything else that calls
+    _ivf_train) runs WARM against the loaded tables — no Lloyd loop,
+    no add pass, no checkpoint dependency on the writing session.
+    Returns (cent_df, k, asg_df). The partition column comes back as
+    the partition-directory key; it is cast back to the trained
+    schema's int so downstream joins/oracle compares see identical
+    types."""
+    k = spark.read.parquet(f"{path}/meta.parquet").collect()[0]["k"]
+    cent_df = spark.read.parquet(f"{path}/centroids.parquet")
+    asg_df = spark.read.parquet(f"{path}/invlists.parquet").select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    _IVF_CENTROIDS[key] = (cent_df, int(k), asg_df)
+    return cent_df, int(k), asg_df
 
 
 @register(

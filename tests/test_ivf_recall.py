@@ -181,3 +181,73 @@ def test_ivf_recall_vs_nprobe_uniform_corpus(spark, sf_dir):
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert fracs == sorted(fracs), f"candidate cost not monotone: {fracs}"
     spark.catalog.clearCache()
+
+
+def test_ivf_recall_with_sampled_training(spark, tmp_path):
+    """The m>1 SAMPLED-training path (vec_id % m == 0, m = ceil(N /
+    (IVF_TRAIN_PER_CENTROID·K))) has no recall pin: every other recall
+    test runs at 256·K >= N where the sample is the whole corpus, and
+    the x1000 sweep corpus is uniform-random (no recoverable
+    structure). This corpus is big enough that the shipped constant
+    samples (N=66 049 > 256·K=65 792, m=2, K=257 clusters) and asserts
+    the index trained on HALF the corpus still recovers nearly every
+    true neighbor — the evidence a train-sample-size lever must keep
+    green. Generation is Spark-side (the md5 driver loop at 66k x 64
+    would dominate the test's runtime); determinism comes from
+    xxhash64, which is just as seed-stable."""
+    from math import isqrt
+
+    from pyspark.sql import functions as F
+
+    from cosmoz_data_pipeline_spark.plans import catalog_ext as CE
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import (
+        _ivf_train,
+        q_ann_ivf_topk,
+        q_ann_topk,
+    )
+    from cosmoz_data_pipeline_spark.plans.registry import release_persists
+
+    n_vecs = 257 * 257  # K = isqrt(N) = 257 true clusters
+    n_clusters = 257
+    sf_dir = str(tmp_path)
+    # center c dim d: deterministic in [-1, 1); noise 3e-2, same shape
+    # as the md5 corpora above
+    c = F.col("id") % n_clusters
+
+    def _u(key):
+        return (F.xxhash64(key) % 1_000_000) / 500_000.0 - 1.0
+
+    vec = F.array(
+        *[
+            (_u(F.concat(F.lit(f"center_{d}_"), c))
+             + 3e-2 * _u(F.concat(F.lit(f"noise_{d}_"), F.col("id"))))
+            .cast("float")
+            for d in range(64)
+        ]
+    )
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        (c).cast("int").alias("label"),
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # confirm this corpus actually exercises the sampled branch
+    _, _, k, _ = _ivf_train(spark, sf_dir)
+    assert k == isqrt(n_vecs) == 257
+    m = (n_vecs + CE.IVF_TRAIN_PER_CENTROID * k - 1) // (
+        CE.IVF_TRAIN_PER_CENTROID * k
+    )
+    assert m > 1, "corpus must be big enough that training samples"
+
+    truth = {}
+    for r in q_ann_topk(spark, sf_dir).where("rk <= 3").collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in q_ann_ivf_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    assert recall >= 0.9, f"sampled-training recall@3 = {recall:.3f}"
+    release_persists()
+    spark.catalog.clearCache()
