@@ -119,6 +119,58 @@ def asof_join(
         # at equal time value rows must come first in scan order for
         # non-strict (visible), after the probe for strict (hidden)
         order = [F.col(_ORD).desc(), F.col(_SRC).asc() if not strict else F.col(_SRC).desc()]
+
+    if _asof_bucketed(unioned):
+        # scale shape (ASOF_BUCKETED, see module comment): in-bucket
+        # running last + per-bucket tail carry. Strictness only
+        # reorders probe-vs-value ties at EQUAL time, which share a
+        # bucket by construction, so the carry (strictly earlier/later
+        # buckets) is strictness-blind.
+        from .bucketed_window import BUCKET_SECS
+
+        u = unioned.withColumn(
+            _BKT, F.floor(F.col(_ORD).cast("long") / F.lit(BUCKET_SECS)).cast("long")
+        )
+        w_in = (
+            Window.partitionBy(*on, _BKT)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        nn = lambda c: F.when(F.col(c).isNotNull(), F.col(_ORD))  # noqa: E731
+        tail_agg = F.max_by if direction == "backward" else F.min_by
+        tails = u.groupBy(*on, _BKT).agg(
+            *[tail_agg(c, nn(c)).alias(f"__tl_{c}") for c in out_cols]
+        )
+        w_carry = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(_BKT).asc() if direction == "backward" else F.col(_BKT).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = tails.select(
+            *on,
+            _BKT,
+            *[
+                F.last(f"__tl_{c}", ignorenulls=True).over(w_carry).alias(f"__cr_{c}")
+                for c in out_cols
+            ],
+        )
+        picked_in = [
+            F.last(c, ignorenulls=True).over(w_in).alias(f"__in_{c}") for c in out_cols
+        ]
+        resolved = (
+            u.select(*left_cols, _ORD, _SRC, _BKT, *picked_in)
+            .join(F.broadcast(carries), [*on, _BKT], "left")
+            .select(
+                *left_cols,
+                _SRC,
+                *[
+                    F.coalesce(f"__in_{c}", f"__cr_{c}").alias(c)
+                    for c in out_cols
+                ],
+            )
+        )
+        return resolved.where(F.col(_SRC) == 1).drop(_SRC)
+
     frame = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     picked = [F.last(c, ignorenulls=True).over(frame).alias(c) for c in out_cols]
 

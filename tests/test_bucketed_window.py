@@ -227,3 +227,36 @@ def test_asof_both_bucketed_identity(spark, asof_flag):
     assert base_rows
     asof_flag(True)
     assert _run() == base_rows
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_single_bucketed_identity(spark, asof_flag, direction, strict):
+    from cosmoz_data_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2021, 1, 1)
+    left = spark.createDataFrame(
+        [("A", base + dt.timedelta(hours=6 * i), i) for i in range(120)],
+        "site_no string, time timestamp, seq int",
+    )
+    vals = [("A", base + dt.timedelta(days=9 * i, hours=2),
+             None if i == 3 else float(i)) for i in range(8)]
+    vals.append(("A", base + dt.timedelta(hours=6 * 40), 999.0))  # rt == lt
+    right = spark.createDataFrame(
+        vals, "site_no string, time timestamp, v double"
+    )
+
+    def _run():
+        return _rows(
+            asof_join(
+                left, right, on=["site_no"], left_time="time",
+                right_time="time", values=["v"],
+                direction=direction, strict=strict,
+            )
+        )
+
+    asof_flag(False)
+    base_rows = _run()
+    assert base_rows
+    asof_flag(True)
+    assert _run() == base_rows
