@@ -74,8 +74,18 @@ LEVEL1_FIELDS = RAW_PAYLOAD[:-1]  # sans flag (recomputed)
 # 86 813 180 output rows every run): level1 best-of-3 52.1 s (hash)
 # vs 66.1 s (composite), steady-state 52 s vs 76 s (1.47x); the full
 # level4 pipeline measured 123.9 s vs 128.1 s best-of-2 (downstream
-# stages dilute the stage win). False re-takes the measurement.
-LEVEL1_DUPW_HASH: bool = True
+# stages dilute the stage win). True/False force either variant.
+#
+# CORPUS-GATED round 10 (None = auto, same >=128-partition gate as
+# the bucketed shapes): BENCH_AB_r10.json (3 repeats x 3 passes,
+# r8-final vs r10) showed the hash layout costs a consistent
+# ~5-13 % on the sf0.1 level pipeline (xxhash64 over 16 columns per
+# row dominates when the composite sort is already cheap), while the
+# 1.47x stage win only exists where the per-site sort is the
+# bottleneck. Small corpora keep the composite window; at-scale
+# corpora get the hash prefix — exactly the SimHash-blocking
+# precedent (corpus-scaled physical shape, fixed semantics).
+LEVEL1_DUPW_HASH: bool | None = None
 
 # Round-10 scale shape (VERDICT r9 task 2): the per-site sequence
 # windows — level1's lag(count) over partitionBy(site_no) and
@@ -139,7 +149,10 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
     else:
         seq = Window.partitionBy("site_no").orderBy("time")
         with_prev = raw.withColumn("prev_count", F.lag("count").over(seq))
-    if LEVEL1_DUPW_HASH:
+    dupw_hash = (
+        _bucketed_auto(raw) if LEVEL1_DUPW_HASH is None else LEVEL1_DUPW_HASH
+    )
+    if dupw_hash:
         # hash-prefixed duplicate window (see LEVEL1_DUPW_HASH): same
         # groups, same lag series, exact equality — only the physical
         # sort-key layout changes

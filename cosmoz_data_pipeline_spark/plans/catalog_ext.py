@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
 from ..functions import text as tx
+from ..operators.bucketed_window import bucketed_auto
 from ..sources.tables import load_table
 from .registry import REGISTRY, register, release_persists, scoped_persist
 
@@ -1081,9 +1082,17 @@ NEARDUP_VERIFY_HINT: str | None = None
 # before they touch the wide join. Measured best-of-2, same session,
 # variants interleaved, identical 617 874 output rows: x1000 262.5 s
 # (off) / 242.9 s (head8) / 191.4 s (head16, 1.37x); x100 20.2 s /
-# 20.8 s / 18.9 s. 0 disables (measurement hook for re-taking the
-# A/B); head8 kept as a variant in the tool only.
-NEARDUP_PRESCREEN_HEAD: int = 16
+# 20.8 s / 18.9 s. 0 disables, an int forces that head width
+# (measurement hooks for re-taking the A/B); head8 kept as a variant
+# in the tool only.
+#
+# CORPUS-GATED round 10 (None = auto: head16 behind the shared
+# >=128-partition gate, off below it): BENCH_AB_r10.json (3 repeats
+# x 3 passes) showed the slim-row join costs a consistent ~9 % at
+# sf0.1 where the verify join is already sub-second, while the 1.37x
+# win needs the 139 M-candidate decade. Same corpus-scaled precedent
+# as SimHash blocking and the bucketed windows.
+NEARDUP_PRESCREEN_HEAD: int | None = None
 # keep every pair the exact verify could keep: round(c,6) >= 0.9 means
 # c >= 0.8999995; the bound's own floating error is ~1e-15 relative,
 # so a 5e-7 slack is orders of magnitude more than safe
@@ -1183,8 +1192,13 @@ WHERE round(CAST(list_aggregate(list_transform(generate_series(1, len(a.qv)),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs, cand = _neardup_cands(spark, sf_dir)
-    if NEARDUP_PRESCREEN_HEAD:  # A/B measurement hook (round 9)
-        cand = _neardup_prescreen(vecs, cand, NEARDUP_PRESCREEN_HEAD)
+    prescreen_head = (
+        (16 if bucketed_auto(vecs) else 0)
+        if NEARDUP_PRESCREEN_HEAD is None
+        else NEARDUP_PRESCREEN_HEAD
+    )
+    if prescreen_head:  # forced by the A/B hook, else corpus-gated
+        cand = _neardup_prescreen(vecs, cand, prescreen_head)
     # No join-strategy hint here, deliberately: see the MEASURED OUT
     # note above NEARDUP_BANDS — the shuffle-hash verify shape lost
     # the round-8 A/B at x100 and x1000 despite avoiding the sort

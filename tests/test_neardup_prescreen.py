@@ -20,7 +20,8 @@ from cosmoz_data_pipeline_spark.plans import REGISTRY, catalog_ext, release_pers
 @pytest.fixture()
 def prescreen(request):
     """Set the screen head width for one test, restoring the shipped
-    module default (16 since the round-9 A/B adoption) afterward."""
+    module default (None = corpus-gated auto since round 10; head16
+    where the >=128-partition gate engages) afterward."""
     shipped = catalog_ext.NEARDUP_PRESCREEN_HEAD
 
     def _set(h: int):
