@@ -50,13 +50,43 @@ _BKT = "__asof_bkt"
 # level2 prefix 107.4 s -> 89.6 s (1.20x), full level4 111.9 s ->
 # 100.5 s (1.11x) with the pipeline's LAST remaining x1000 spill
 # retired (13.1 GiB mem + 3.6 GiB disk -> zero).
+#
+# That adoption governs the UNION as-of (asof_join_both) only — its
+# key is site_no, 8 values, the per-key sort no partition count can
+# split. The single-direction asof_join ships on user-grained keys
+# (j05/j06: ~thousands of users), where partitionBy(key) is already
+# balanced and the carry's extra groupBy + join is pure overhead.
 ASOF_BUCKETED: bool | None = None
+
+# MEASURED OUT for the single-direction path (round 10,
+# ASOF_SINGLE_AB.json, tools/asof_single_ab.py — interleaved x100 +
+# x1000, 2 repeats, both directions, identical 40 000 138 rows): the
+# bucketed shape LOSES at every decade on the event corpus's
+# 2000-key as-of (x1000 backward 5.5 s plain vs 7.7 s bucketed,
+# forward 4.7 s vs 7.2 s; x100 ratios 0.68/0.73) — the key space is
+# already 60x the core count, so the plain window is balanced and
+# the tail-carry join only adds work. Default False keeps the plain
+# window at every corpus size; None opts into the shared corpus
+# gate and True forces (the hook for a deployment whose asof_join
+# keys are genuinely low-cardinality — identity across variants is
+# pinned by tests/test_bucketed_window.py either way).
+ASOF_SINGLE_BUCKETED: bool | None = False
 
 
 def _asof_bucketed(df) -> bool:
     from .bucketed_window import bucketed_auto
 
     return bucketed_auto(df) if ASOF_BUCKETED is None else ASOF_BUCKETED
+
+
+def _asof_single_bucketed(df) -> bool:
+    from .bucketed_window import bucketed_auto
+
+    return (
+        bucketed_auto(df)
+        if ASOF_SINGLE_BUCKETED is None
+        else ASOF_SINGLE_BUCKETED
+    )
 
 
 def asof_join(
@@ -120,8 +150,9 @@ def asof_join(
         # non-strict (visible), after the probe for strict (hidden)
         order = [F.col(_ORD).desc(), F.col(_SRC).asc() if not strict else F.col(_SRC).desc()]
 
-    if _asof_bucketed(unioned):
-        # scale shape (ASOF_BUCKETED, see module comment): in-bucket
+    if _asof_single_bucketed(unioned):
+        # bucketed shape (ASOF_SINGLE_BUCKETED — measured OUT as a
+        # default, forced hook only; see module comment): in-bucket
         # running last + per-bucket tail carry. Strictness only
         # reorders probe-vs-value ties at EQUAL time, which share a
         # bucket by construction, so the carry (strictly earlier/later

@@ -186,6 +186,19 @@ def asof_flag():
     asof.ASOF_BUCKETED = shipped
 
 
+@pytest.fixture()
+def asof_single_flag():
+    from cosmoz_data_pipeline_spark.operators import asof
+
+    shipped = asof.ASOF_SINGLE_BUCKETED
+
+    def _set(on: bool):
+        asof.ASOF_SINGLE_BUCKETED = on
+
+    yield _set
+    asof.ASOF_SINGLE_BUCKETED = shipped
+
+
 def test_asof_both_bucketed_identity(spark, asof_flag):
     """Sparse value series across empty weeks, null values mid-series,
     and rt == lt ties in both directions (visible backward, hidden
@@ -231,7 +244,7 @@ def test_asof_both_bucketed_identity(spark, asof_flag):
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("strict", [False, True])
-def test_asof_single_bucketed_identity(spark, asof_flag, direction, strict):
+def test_asof_single_bucketed_identity(spark, asof_single_flag, direction, strict):
     from cosmoz_data_pipeline_spark.operators.asof import asof_join
 
     base = dt.datetime(2021, 1, 1)
@@ -255,8 +268,8 @@ def test_asof_single_bucketed_identity(spark, asof_flag, direction, strict):
             )
         )
 
-    asof_flag(False)
+    asof_single_flag(False)
     base_rows = _run()
     assert base_rows
-    asof_flag(True)
+    asof_single_flag(True)
     assert _run() == base_rows
