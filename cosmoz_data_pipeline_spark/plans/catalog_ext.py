@@ -1463,6 +1463,51 @@ IVF_TRAIN_PER_CENTROID = 256
 # tests/test_ivf_d2_expand.py.
 IVF_D2_EXPAND: bool = True
 
+# Round-10 assignment-kernel lever: even after IVF_D2_EXPAND the
+# train+add assignments are fold-BOUND — ~2M vectors x ~113 exact
+# int64 distance folds each at x1000, every fold an interpreted HOF
+# reduction (tools/ivf_fold_micro.py: ~0.33 us/element is the
+# per-element interpreter floor; whole-stage codegen does not reach
+# inside aggregate()). The kernel variant computes the IDENTICAL
+# two-level assignment in one Arrow-batched mapInPandas pass:
+# D2 = qq[:,None] + ww[None,:] - 2 * Q @ W.T as float64 matmuls.
+# EXACT, not approximate: quantized components are bounded
+# (|q| <= ~4.3e5 on this corpus; the kernel RAISES past 2^22), so
+# every product (<2^44), partial sum (<2^50) and d2 (<2^52) is an
+# integer float64 represents exactly — summation order is
+# irrelevant when every intermediate is exact, so BLAS blocking
+# cannot perturb a single bit. Tie-breaks replicate the HOF path by
+# construction: np.argsort(kind='stable') on d2 == array_sort on
+# struct(d2, gid) (equal d2 keeps gid order); np.argmin's
+# first-occurrence == min(struct(d2, j)) (lowest j on ties); rep
+# centroids pin into their own group exactly as _ivf_candidates
+# does. The K-row centroid table is collect()ed to build the
+# broadcast weight matrix — the ONE exception to the
+# centroids-never-leave-the-executors rule, justified because K=⌊√N⌋
+# rows are index METADATA (16 MB at N=10^9, the same table
+# write_ivf_index materializes), collected once per assignment pass,
+# not per row; the round-4 rule targeted per-iteration driver DICT
+# round-trips in the Lloyd loop, not an O(√N) broadcast feed.
+# ADOPTED round 10, unconditionally (IVF_ASSIGN_AB.json,
+# tools/ivf_assign_ab.py — interleaved, 2 repeats per scale,
+# centroid cell-hash identical across variants every run): the
+# kernel won EVERY measured scale — sf0.01 1.08x, sf0.1 1.37x, x100
+# 2.17x, x1000 3.23x (cold train+add 107.0 s -> 33.1 s). The
+# anticipated small-corpus penalty (a collect per Lloyd superstep
+# un-fuses the lazily-chained train job) did not materialize even at
+# sf0.01, so no corpus gate. False re-takes the measurement; None =
+# the shared >=128-partition corpus gate, kept as a measurement
+# hook.
+IVF_ASSIGN_NUMPY: bool | None = True
+
+# float64 stays exact while every |q| <= 2^22 (products < 2^44,
+# 64-term sums < 2^50, d2 < 2^52 < 2^53); the kernel raises past it
+IVF_KERNEL_MAX_ABS = 1 << 22
+
+
+def _ivf_assign_numpy_on(df: DataFrame) -> bool:
+    return bucketed_auto(df) if IVF_ASSIGN_NUMPY is None else IVF_ASSIGN_NUMPY
+
 
 def _d2_pair(qa: Column, wa: Column, qq: Column, ww: Column) -> Column:
     """Exact int64 squared L2 via the expanded form (see
@@ -1749,6 +1794,86 @@ def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _ivf_assign_kernel(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
+    """(vec_id, cluster): the SAME two-level nearest-centroid
+    assignment ``_argmin_cluster(_ivf_candidates(...))`` produces,
+    computed by the Arrow/numpy kernel (see IVF_ASSIGN_NUMPY — exact
+    float64 integer arithmetic, tie-breaks replicated, K-row
+    centroid collect justified there). One mapInPandas pass over the
+    vectors; the centroid matrix and the per-centroid group ids ride
+    a Spark broadcast. The B x K distance block is chunked to ~64 MiB
+    so a 10k-row Arrow batch against K=31.6k centroids (N=10^9)
+    stays inside executor memory."""
+    import numpy as np
+
+    from math import isqrt
+
+    g = isqrt(k) if k >= IVF_TWOLEVEL_MIN_K else 1
+    r = IVF_GROUP_PROBES
+    rows = cent_df.select("j", "wa").collect()
+    w = np.zeros((k, EMBED_DIM), dtype=np.int64)
+    for row in rows:
+        w[row["j"]] = row["wa"]
+    if int(np.abs(w).max(initial=0)) > IVF_KERNEL_MAX_ABS:
+        raise RuntimeError(
+            "IVF kernel exactness guard: |centroid component| exceeds "
+            f"{IVF_KERNEL_MAX_ABS}; float64 matmul would round"
+        )
+    wf = w.astype(np.float64)
+    ww = (wf * wf).sum(axis=1)
+    if g > 1:
+        # per-centroid group: nearest rep by (d2, gid) — np.argmin's
+        # first-occurrence = lowest gid on ties — with reps (j < g)
+        # pinned into their own group, exactly as _ivf_candidates
+        dc = ww[:, None] + ww[None, :g] - 2.0 * (wf @ wf[:g].T)
+        gid = dc.argmin(axis=1)
+        gid[:g] = np.arange(g)
+    else:
+        gid = np.zeros(k, dtype=np.int64)
+    bc = qv.sparkSession.sparkContext.broadcast((w, gid.astype(np.int64)))
+    vid_type = qv.schema["vec_id"].dataType.simpleString()
+
+    def assign(batches):
+        import pandas as pd
+
+        w, gid = bc.value
+        wf = w.astype(np.float64)
+        ww = (wf * wf).sum(axis=1)
+        kk = wf.shape[0]
+        # chunk so the B x K float64 block stays ~64 MiB
+        blk = max(1, (64 << 20) // (kk * 8))
+        for pdf in batches:
+            q = np.stack(pdf["qa"].to_numpy()).astype(np.float64)
+            if np.abs(q).max(initial=0) > IVF_KERNEL_MAX_ABS:
+                raise RuntimeError(
+                    "IVF kernel exactness guard: |vector component| "
+                    f"exceeds {IVF_KERNEL_MAX_ABS}; float64 would round"
+                )
+            out = np.empty(len(q), dtype=np.int32)
+            for s in range(0, len(q), blk):
+                qb = q[s : s + blk]
+                qq = (qb * qb).sum(axis=1)
+                d2 = qq[:, None] + ww[None, :] - 2.0 * (qb @ wf.T)
+                if g > 1:
+                    # top-R rep groups by (d2, gid): stable argsort on
+                    # d2 keeps gid order on ties == array_sort on
+                    # struct(d2, gid); then mask non-candidate
+                    # clusters and take argmin (first min = lowest j)
+                    topr = np.argsort(
+                        d2[:, :g], axis=1, kind="stable"
+                    )[:, :r]
+                    allowed = (gid[None, :, None] == topr[:, None, :]).any(
+                        axis=2
+                    )
+                    d2 = np.where(allowed, d2, np.inf)
+                out[s : s + blk] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cluster": out})
+
+    return qv.select("vec_id", "qa").mapInPandas(
+        assign, f"vec_id {vid_type}, cluster int"
+    )
+
+
 # Trained-centroid memo, keyed by (applicationId, corpus dir). An IVF
 # index is built once and amortized over every subsequent search (the
 # faiss train/add/search split); re-deriving the coarse quantizer per
@@ -1833,8 +1958,17 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     cent_df = _iter_checkpoint(
         seed.join(qv, "vec_id").select("j", F.col("qa").alias("wa")), eager=False
     )
+    # one gate decision per train (the kernel collects the K-row
+    # centroid table each pass — see IVF_ASSIGN_NUMPY)
+    use_kernel = _ivf_assign_numpy_on(qv)
+
+    def _assign_once(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        if use_kernel:
+            return _ivf_assign_kernel(vecs, cents, k)
+        return _argmin_cluster(_ivf_candidates(vecs, cents, k))
+
     for it in range(IVF_ITERS):
-        assign = _argmin_cluster(_ivf_candidates(qv_train, cent_df, k))
+        assign = _assign_once(qv_train, cent_df)
         # new mean per cluster: 64 unrolled integer sum aggregates in
         # one codegen'd hash-agg (same floor(sum/count) arithmetic the
         # oracle unrolls), reassembled into the centroid array
@@ -1869,7 +2003,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     # state — without it every warm search re-paid the full-corpus
     # assignment (N·R·K/G distances), the single largest cost in the
     # x1000 profile (394 s of 589 s measured pre-split).
-    asg_df = _iter_checkpoint(_argmin_cluster(_ivf_candidates(qv, cent_df, k)))
+    asg_df = _iter_checkpoint(_assign_once(qv, cent_df))
     _IVF_CENTROIDS[key] = (cent_df, k, asg_df)
     return qv, cent_df, k, asg_df
 
