@@ -77,6 +77,16 @@ def probe_once(spark, sf_dir: str) -> dict:
     _timed(spark, rec, "qv_persist", qv.count)
     qv_train = qv.where(F.col("vec_id") % m == 0) if m > 1 else qv
 
+    # probe the SHIPPED assignment branch (round 10: the numpy kernel
+    # replaced the HOF fold path — IVF_ASSIGN_AB.json)
+    use_kernel = CE._ivf_assign_numpy_on(qv)
+    rec["assign_branch"] = "numpy_kernel" if use_kernel else "hof_fold"
+
+    def _assign(vecs, cents):
+        if use_kernel:
+            return CE._ivf_assign_kernel(vecs, cents, k)
+        return CE._argmin_cluster(CE._ivf_candidates(vecs, cents, k))
+
     seed = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") % m == 0)
@@ -100,9 +110,7 @@ def probe_once(spark, sf_dir: str) -> dict:
             spark,
             rec,
             f"asg{it}",
-            lambda c=cent: CE._iter_checkpoint(
-                CE._argmin_cluster(CE._ivf_candidates(qv_train, c, k)), eager=True
-            ),
+            lambda c=cent: CE._iter_checkpoint(_assign(qv_train, c), eager=True),
         )
 
         def _update(c=cent, a=assign):
@@ -138,9 +146,7 @@ def probe_once(spark, sf_dir: str) -> dict:
         spark,
         rec,
         "add_assign",
-        lambda: CE._iter_checkpoint(
-            CE._argmin_cluster(CE._ivf_candidates(qv, cent, k)), eager=True
-        ),
+        lambda: CE._iter_checkpoint(_assign(qv, cent), eager=True),
     )
     release_persists()
     CE._IVF_CENTROIDS.clear()
