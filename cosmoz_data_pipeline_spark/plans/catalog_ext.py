@@ -1086,13 +1086,24 @@ NEARDUP_VERIFY_HINT: str | None = None
 # (measurement hooks for re-taking the A/B); head8 kept as a variant
 # in the tool only.
 #
-# CORPUS-GATED round 10 (None = auto: head16 behind the shared
-# >=128-partition gate, off below it): BENCH_AB_r10.json (3 repeats
-# x 3 passes) showed the slim-row join costs a consistent ~9 % at
-# sf0.1 where the verify join is already sub-second, while the 1.37x
-# win needs the 139 M-candidate decade. Same corpus-scaled precedent
-# as SimHash blocking and the bucketed windows.
+# CORPUS-GATED round 10 (None = auto: head16 when the corpus has
+# >= NEARDUP_PRESCREEN_MIN_N augmented vectors, off below):
+# BENCH_AB_r10.json (3 repeats x 3 passes) showed the slim-row join
+# costs a consistent ~9 % at sf0.1 (25.8k vectors) where the verify
+# join is already sub-second, while NEARDUP_PRESCREEN_AB.json shows
+# head16 winning at BOTH x100 (258k vectors, 1.07x) and x1000
+# (2.58M, 1.37x). The gate basis is the memoized _emb_aug_count —
+# NOT the session shuffle-partition proxy the bucketed windows use:
+# the x1000 embeddings corpus alone sizes to ~125 partitions (just
+# under the 128 threshold), so a session that loads only embeddings
+# would flip the screen OFF at exactly the scale it wins
+# (NEARDUP_STAGES.json: full query 255.5 s with the screen
+# gate-missed vs ~156 s in the sweep session where earlier domain
+# loads had raised the ceiling — session-order-dependent, caught by
+# the round-10 stage probe). A row count is deterministic per
+# corpus regardless of what else the session loaded.
 NEARDUP_PRESCREEN_HEAD: int | None = None
+NEARDUP_PRESCREEN_MIN_N = 100_000
 # keep every pair the exact verify could keep: round(c,6) >= 0.9 means
 # c >= 0.8999995; the bound's own floating error is ~1e-15 relative,
 # so a 5e-7 slack is orders of magnitude more than safe
@@ -1193,7 +1204,7 @@ WHERE round(CAST(list_aggregate(list_transform(generate_series(1, len(a.qv)),
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs, cand = _neardup_cands(spark, sf_dir)
     prescreen_head = (
-        (16 if bucketed_auto(vecs) else 0)
+        (16 if _emb_aug_count(spark, sf_dir) >= NEARDUP_PRESCREEN_MIN_N else 0)
         if NEARDUP_PRESCREEN_HEAD is None
         else NEARDUP_PRESCREEN_HEAD
     )
