@@ -95,10 +95,11 @@ LEVEL1_DUPW_HASH: bool | None = None
 # partition count splits a sort keyed on 8 values). The bucketed
 # variants (operators/bucketed_window.py) compute the identical rows
 # through balanced (site, week-bucket) groups plus a tiny boundary
-# exchange. None = auto: engage when the session's corpus-sized
-# shuffle-partition count says the corpus has outgrown the key count
-# (>= 128 partitions ≈ >= 512 MiB loaded — x1000 engages at ~448,
-# sf0.1/x100 keep the fused single-window plan at small scale).
+# exchange. None = auto: engage when the frame's own input-file bytes
+# say the corpus has outgrown the key count (>= 512 MiB — x1000
+# engages, sf0.1/x100 keep the fused single-window plan at small
+# scale; round 11 moved the basis off the session-global
+# shuffle-partition proxy, see bucketed_window.bucketed_auto).
 # Identity pinned variant-vs-variant by tests/test_bucketed_window.py.
 #
 # ADJUDICATED round 10 (tools/level_bucketed_ab.py, interleaved

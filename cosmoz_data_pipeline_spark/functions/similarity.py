@@ -265,6 +265,7 @@ def srp_band_buckets(
     vec_df, spark, bands: int, planes_per_band: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "v",
     quantized: bool = False,
+    n: int | None = None,
 ):
     """(id, band, bucket) SRP assignments as ONE in-row fold per
     (vector, band) against the broadcast single-row weight literal
@@ -299,7 +300,23 @@ def srp_band_buckets(
     :func:`idot`), so ragged/null elements null-skip exactly like the
     oracle's SUM (ADVICE r6); a fully-null/empty vector folds to
     bucket 0, which is also what the oracle's generate_series CTEs
-    emit for it."""
+    emit for it.
+
+    ``n`` is the caller's memoized corpus row count — the SRP_KERNEL
+    auto-gate basis (round 11): at ``n >= SRP_KERNEL_MIN_N`` the
+    projection runs through the bit-identical numpy matmul kernel
+    (:func:`srp_band_buckets_kernel`) instead of the interpreted
+    fold. ``None`` (count unknown) keeps the fold."""
+    use_kernel = (
+        (n is not None and n >= SRP_KERNEL_MIN_N)
+        if SRP_KERNEL is None
+        else SRP_KERNEL
+    )
+    if use_kernel:
+        return srp_band_buckets_kernel(
+            vec_df, bands, planes_per_band, dim,
+            id_col=id_col, vec_col=vec_col, quantized=quantized,
+        )
     wrow = srp_weights_row(spark, bands, planes_per_band, dim)
     qa = F.col(vec_col) if quantized else quantize(F.col(vec_col))
 
@@ -319,6 +336,160 @@ def srp_band_buckets(
             F.col("bd.band").alias("band"),
             bucket.alias("bucket"),
         )
+    )
+
+
+# --- Arrow/numpy SRP projection kernel (round 11) -------------------
+# The round-10 stage probe (NEARDUP_STAGES.json) localized 117.6 s of
+# x_embed_cosine_neardup's 171.2 s x1000 wall to the bands stage: the
+# per-(vector, band) HOF fold evaluates bands*r*dim interpreted
+# multiply-adds per vector (~9.7k at the x1000 banding), row by row.
+# The identical integer arithmetic is one (N x dim) @ (dim x P) matmul
+# against the broadcast plane bank — the same shape, exactness
+# envelope, and adoption pattern as the IVF assignment kernel that won
+# 3.23x in round 10 (catalog_ext._ivf_assign_kernel). Exactness:
+# |w| <= SRP_HALF = 1e6 and quantize() bounds |q| < 2^31, so every
+# projection sum is < dim * 2^31 * 1e6 ~ 1.4e17 < 2^63 — EXACT in
+# int64; while max|q| stays <= 2^53/(dim*SRP_HALF) (~1.4e8 at dim 64;
+# the shipped corpora peak at ~4.3e5) the float64 BLAS matmul is also
+# exact and the kernel takes that fast path, falling back to the int64
+# matmul (exact, slower, never wrong) beyond it. Sign-to-bucket
+# packing ((s > 0) * bitval summed per band) is pure int64 either way,
+# so kernel and fold agree bit-for-bit on every input the fold
+# accepts — pinned by tests/test_srp_kernel.py.
+#
+# None = auto: kernel when the caller's corpus row count n >=
+# SRP_KERNEL_MIN_N, fold below (the mapInPandas stage pays a fixed
+# Arrow serialization + Python worker cost that the fold's in-JVM
+# evaluation avoids on small corpora). The gate basis is a memoized
+# per-corpus ROW COUNT, never session conf — the round-10 prescreen
+# gate bug (session-order-dependent shuffle-partition proxy,
+# NEARDUP_STAGES.json) is the precedent. True/False force the variant
+# (A/B hooks for tools/srp_kernel_ab.py).
+SRP_KERNEL: bool | None = None
+SRP_KERNEL_MIN_N = 100_000
+
+
+def srp_weight_matrix(bands: int, planes_per_band: int, dim: int):
+    """The (bands*planes_per_band, dim) int64 md5 plane bank — same
+    weights, same plane order as :func:`srp_weights_row`."""
+    import numpy as np
+
+    total = bands * planes_per_band
+    return np.array(
+        [[srp_weight(p, i) for i in range(1, dim + 1)] for p in range(total)],
+        dtype=np.int64,
+    ).reshape(total, dim)
+
+
+def _srp_quantized_matrix(vals, dim: int):
+    """Dense (n, dim) float64 matrix from an Arrow column of QUANTIZED
+    integer-array cells, replicating the fold path's null semantics:
+    a null element — which Arrow surfaces as NaN in the cell's float
+    view, unambiguous here because integers carry no NaN of their own
+    (this is why the kernel only accepts pre-quantized input: on raw
+    doubles a genuine NaN, which quantize() raises on, would be
+    indistinguishable from a null, which it skips) — contributes 0 to
+    every projection (idot's coalesce); a fully-null/empty vector
+    projects to 0 on every plane (bucket 0); a short vector zero-pads
+    (zip_with's null padding, coalesced); elements past ``dim`` pair
+    with null weights in the fold and drop."""
+    import numpy as np
+
+    n = len(vals)
+    q = None
+    try:
+        # fast path: rectangular; null elements -> nan via float64 cast
+        m = np.array(list(vals), dtype=np.float64)
+        if m.ndim == 2:
+            if m.shape[1] > dim:
+                m = m[:, :dim]
+            elif m.shape[1] < dim:
+                m = np.pad(m, ((0, 0), (0, dim - m.shape[1])))
+            q = m
+    except (ValueError, TypeError):
+        pass
+    if q is None:  # ragged rows / whole-cell nulls
+        q = np.zeros((n, dim), dtype=np.float64)
+        for i, x in enumerate(vals):
+            if x is None:
+                continue
+            a = np.array(list(x[:dim]), dtype=np.float64)
+            q[i, : len(a)] = a
+    return np.nan_to_num(q, nan=0.0)
+
+
+# plane-bank broadcast memo, keyed by (applicationId, banding shape):
+# a long-lived session re-running banded queries reuses ONE broadcast
+# per distinct (bands, r, dim) instead of accumulating a new ~80 KB
+# broadcast per build (the leak class ADVICE r10 flagged on the IVF
+# kernel). applicationId, not id(spark) — CPython reuses object ids
+# (same rationale as _IVF_CENTROIDS).
+_SRP_BANK_BC: dict[tuple[str, int, int, int], object] = {}
+
+
+def srp_band_buckets_kernel(
+    vec_df, bands: int, planes_per_band: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "v",
+    quantized: bool = False,
+):
+    """(id, band, bucket) SRP assignments via the Arrow/numpy matmul
+    kernel — bit-identical to :func:`srp_band_buckets`'s fold on every
+    input the fold accepts (see SRP_KERNEL). One mapInPandas pass; the
+    plane bank rides a SparkContext broadcast (bands*r*dim int64s —
+    ~80 KB at the x1000 banding), memoized per (session, banding
+    shape) so repeated builds never accumulate copies.
+
+    ``quantized=False`` input is quantized JVM-side with the module
+    :func:`quantize` expression BEFORE the kernel, preserving its
+    exact floor(v*1e6) grid, its out-of-grid raise, and the null/NaN
+    distinction Arrow erases (see :func:`_srp_quantized_matrix`) — the
+    kernel itself only ever sees integer arrays."""
+    import numpy as np
+
+    spark = vec_df.sparkSession
+    r = planes_per_band
+    key = (spark.sparkContext.applicationId, bands, r, dim)
+    bc = _SRP_BANK_BC.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(srp_weight_matrix(bands, r, dim))
+        _SRP_BANK_BC[key] = bc
+    # float64 partial sums stay exact while max|q| * |w| * dim < 2^53;
+    # quantize() hard-bounds |q| < 2^31, where the int64 matmul is
+    # exact (dim * 2^31 * 1e6 ~ 1.4e17 < 2^63)
+    f64_qmax = (2**53) // (SRP_HALF * max(dim, 1))
+    vid_type = vec_df.schema[id_col].dataType.simpleString()
+    src = vec_df.select(id_col, vec_col) if quantized else vec_df.select(
+        id_col, quantize(F.col(vec_col)).alias(vec_col)
+    )
+
+    def project(batches):
+        import pandas as pd
+
+        wt_i = bc.value.T  # (dim, P) int64
+        wt_f = wt_i.astype(np.float64)
+        bitvals = (np.int64(1) << np.arange(r, dtype=np.int64))
+        band_ids = np.arange(bands, dtype=np.int32)
+        for pdf in batches:
+            q = _srp_quantized_matrix(pdf[vec_col].to_numpy(), dim)
+            if np.abs(q).max(initial=0.0) <= f64_qmax:
+                pos = (q @ wt_f) > 0.0  # BLAS, exact in this envelope
+            else:
+                pos = (q.astype(np.int64) @ wt_i) > 0  # exact fallback
+            # bit-pack by matmul: bool (n*bands, r) @ int64 bitvals —
+            # measured 2.5x over the broadcast-multiply reduce, which
+            # materializes an (n, bands, r) int64 temp
+            buckets = (pos.reshape(-1, r) @ bitvals).reshape(len(q), bands)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(band_ids, len(q)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        project, f"{id_col} {vid_type}, band int, bucket bigint"
     )
 
 

@@ -50,19 +50,49 @@ from pyspark.sql import functions as F
 BUCKET_SECS = 7 * 86400
 
 
+# engage the bucketed shapes when the frame's own INPUT bytes say the
+# corpus has outgrown the domain's key count. 512 MiB is the same
+# crossover the retired >=128-shuffle-partition proxy encoded
+# (128 partitions x 4 MiB target input): the x1000 events table
+# (~1+ GiB) engages, sf0.01/sf0.1/x100 keep the fused single-window
+# plans that measure faster at small scale (LEVEL_BUCKETED_AB.json:
+# bucketed level4 0.89x at x100 vs 1.25x at x1000).
+BUCKETED_MIN_INPUT_BYTES = 512 << 20
+
+
 def bucketed_auto(df: DataFrame) -> bool:
     """Shared auto-gate for the bucketed window shapes: engage when
-    the session's corpus-sized shuffle-partition count
-    (session.scale_shuffle_partitions — bytes-derived) says the
-    loaded corpus has outgrown the domain's key count. >=128
-    partitions ≈ >=512 MiB loaded: the x1000 corpus engages (~448),
-    sf0.01/sf0.1/x100 keep the fused single-window plans that measure
-    faster at small scale (LEVEL_BUCKETED_AB.json: bucketed level4
-    0.89x at x100 vs 1.25x at x1000)."""
+    the bytes of the files actually backing ``df``'s plan
+    (``df.inputFiles()``, sized through session._path_bytes' memo)
+    exceed BUCKETED_MIN_INPUT_BYTES.
+
+    Round 11 (ADVICE r10): the previous basis — the session-global
+    ``spark.sql.shuffle.partitions`` ceiling — was the same
+    session-order-dependent bug class round 10 fixed in the neardup
+    prescreen gate: a session that had loaded OTHER corpora first (or
+    had autosize off) flipped the plan shape. A frame's input-file
+    bytes are a property of the frame itself — deterministic per
+    corpus no matter what else the session loaded. Frames with no
+    file lineage (in-memory test frames, streams) size to 0 and keep
+    the small-scale shape; the identity tests force both variants
+    explicitly."""
+    from urllib.parse import urlparse
+
+    from ..session import _path_bytes
+
     try:
-        return (
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) >= 128
-        )
+        spark = df.sparkSession
+        total = 0
+        for f in df.inputFiles():
+            # inputFiles returns URIs; file: URIs strip to a plain
+            # (memoized) stat, other schemes go through the session's
+            # Hadoop-FS sizing path
+            u = urlparse(f)
+            p = u.path if u.scheme == "file" else f
+            total += _path_bytes(p, spark)
+            if total >= BUCKETED_MIN_INPUT_BYTES:
+                return True
+        return False
     except Exception:
         return False
 

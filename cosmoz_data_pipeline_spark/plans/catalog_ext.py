@@ -961,7 +961,9 @@ FROM bk""",
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    b = sim.srp_band_buckets(vecs, spark, 1, 8, EMBED_DIM).select("vec_id", "bucket")
+    b = sim.srp_band_buckets(
+        vecs, spark, 1, 8, EMBED_DIM, n=_emb_count(spark, sf_dir)
+    ).select("vec_id", "bucket")
     return b.select(
         "vec_id", "bucket", F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_size")
     )
@@ -994,8 +996,11 @@ emb_aug AS (
 # banding needs ONLY the row count, so derive it from a vec_id-pruned
 # scan (count + two modulo count_ifs) instead of materializing the
 # full 3-branch augmented projection — corpus size is index metadata,
-# same train-once rationale as _IVF_CENTROIDS.
+# same train-once rationale as _IVF_CENTROIDS. The base (unaugmented)
+# count rides the same scan — x_ann_lsh_buckets' SRP-kernel gate
+# (round 11) needs it and must never pay a second count job.
 _EMB_AUG_COUNT: dict[str, int] = {}
+_EMB_COUNT: dict[str, int] = {}
 
 
 def _emb_aug_count(spark: SparkSession, sf_dir: str) -> int:
@@ -1013,7 +1018,15 @@ def _emb_aug_count(spark: SparkSession, sf_dir: str) -> int:
         )
         n = r["n"] + r["n11"] + r["n5"]
         _EMB_AUG_COUNT[key] = n
+        _EMB_COUNT[key] = r["n"]
     return n
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = sf_dir.rstrip("/")
+    if key not in _EMB_COUNT:
+        _emb_aug_count(spark, sf_dir)
+    return _EMB_COUNT[key]
 
 
 def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,14 +1261,17 @@ def _neardup_cands(spark: SparkSession, sf_dir: str):
     # (memoized), NOT a count over the full augmented projection; the
     # persist above materializes lazily inside the final job instead
     # of behind a sequential driver wall
-    planes = sim.srp_planes_for(_emb_aug_count(spark, sf_dir))
+    n_aug = _emb_aug_count(spark, sf_dir)
+    planes = sim.srp_planes_for(n_aug)
     # persist: both sides of the candidate self-join read the band
     # table — uncached, each side would re-run the per-(vector, band)
-    # projection fold (round 6 replaced the dim-exploded agg with that
-    # in-row fold; the persist still buys computing it once)
+    # projection (round 6 replaced the dim-exploded agg with the
+    # in-row fold; round 11 swapped the fold for the numpy matmul
+    # kernel at >= SRP_KERNEL_MIN_N vectors — the persist still buys
+    # computing it once)
     bands = scoped_persist(sim.srp_band_buckets(
         vecs, spark, NEARDUP_BANDS, planes, EMBED_DIM,
-        vec_col="qv", quantized=True,
+        vec_col="qv", quantized=True, n=n_aug,
     ))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1805,7 +1821,9 @@ def _ivf_candidates(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _ivf_assign_kernel(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
+def _ivf_assign_kernel(
+    qv: DataFrame, cent_df: DataFrame, k: int, bc_sink: list | None = None
+) -> DataFrame:
     """(vec_id, cluster): the SAME two-level nearest-centroid
     assignment ``_argmin_cluster(_ivf_candidates(...))`` produces,
     computed by the Arrow/numpy kernel (see IVF_ASSIGN_NUMPY — exact
@@ -1842,6 +1860,14 @@ def _ivf_assign_kernel(qv: DataFrame, cent_df: DataFrame, k: int) -> DataFrame:
     else:
         gid = np.zeros(k, dtype=np.int64)
     bc = qv.sparkSession.sparkContext.broadcast((w, gid.astype(np.int64)))
+    # each assignment pass broadcasts a fresh K-row weight matrix
+    # (~16 MB at K≈31.6k), IVF_ITERS+1 per cold train — without
+    # cleanup a long-lived multi-corpus session accumulates them
+    # (ADVICE r10). The caller collects them here and destroys the lot
+    # once the train's EAGER checkpoints have materialized (lineage
+    # truncated — nothing can re-reference the broadcast after that).
+    if bc_sink is not None:
+        bc_sink.append(bc)
     vid_type = qv.schema["vec_id"].dataType.simpleString()
 
     def assign(batches):
@@ -1972,10 +1998,11 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     # one gate decision per train (the kernel collects the K-row
     # centroid table each pass — see IVF_ASSIGN_NUMPY)
     use_kernel = _ivf_assign_numpy_on(qv)
+    kernel_bcs: list = []
 
     def _assign_once(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         if use_kernel:
-            return _ivf_assign_kernel(vecs, cents, k)
+            return _ivf_assign_kernel(vecs, cents, k, bc_sink=kernel_bcs)
         return _argmin_cluster(_ivf_candidates(vecs, cents, k))
 
     for it in range(IVF_ITERS):
@@ -2015,6 +2042,11 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     # assignment (N·R·K/G distances), the single largest cost in the
     # x1000 profile (394 s of 589 s measured pre-split).
     asg_df = _iter_checkpoint(_assign_once(qv, cent_df))
+    # the eager add checkpoint (and the eager-final centroid one) has
+    # materialized: every per-pass kernel broadcast is now
+    # unreferenced — free driver AND executor copies (ADVICE r10)
+    for b in kernel_bcs:
+        b.destroy()
     _IVF_CENTROIDS[key] = (cent_df, k, asg_df)
     return qv, cent_df, k, asg_df
 
@@ -2048,9 +2080,14 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     asg_df.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{path}/invlists.parquet"
     )
-    spark.createDataFrame([(k,)], "k int").write.mode("overwrite").parquet(
-        f"{path}/meta.parquet"
-    )
+    # n_clusters_nonempty: a one-column distinct over the checkpointed
+    # assignment — write-time index metadata (ADVICE r10: the column
+    # was documented but not written), one cheap job on a one-time
+    # deployment op
+    nne = asg_df.select("cluster").distinct().count()
+    spark.createDataFrame(
+        [(k, nne)], "k int, n_clusters_nonempty long"
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
 def load_ivf_index(spark: SparkSession, sf_dir: str, path: str):

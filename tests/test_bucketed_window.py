@@ -161,16 +161,32 @@ def test_levels_identical_on_domain_corpus(spark, sf_dir, seq_flags):
     )
 
 
-def test_auto_gate_follows_shuffle_partitions(spark):
-    # conftest builds the session at 8 partitions — auto must stay on
-    # the fused single-window plan there
-    d = spark.range(1)
-    assert levels._bucketed_auto(d) is False
+def test_auto_gate_reads_frame_input_bytes(spark, sf_dir, tmp_path):
+    # round 11 (ADVICE r10): the gate basis is the frame's OWN input
+    # bytes — session state (shuffle-partition conf, other corpora
+    # loaded first) must not flip the plan shape
+    from cosmoz_data_pipeline_spark.operators import bucketed_window as bw
+
+    # in-memory frame: no file lineage -> small-scale shape
+    assert levels._bucketed_auto(spark.range(1)) is False
+    # a real (small) scan stays below the crossover…
+    small = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert levels._bucketed_auto(small) is False
+    # …regardless of the session-global conf the retired proxy read
     spark.conf.set("spark.sql.shuffle.partitions", "256")
     try:
-        assert levels._bucketed_auto(d) is True
+        assert levels._bucketed_auto(small) is False
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # and the same frame engages once its inputs cross the threshold
+    shipped = bw.BUCKETED_MIN_INPUT_BYTES
+    bw.BUCKETED_MIN_INPUT_BYTES = 1
+    try:
+        assert levels._bucketed_auto(small) is True
+        # derived frames inherit their source files
+        assert levels._bucketed_auto(small.select("user_id").limit(3)) is True
+    finally:
+        bw.BUCKETED_MIN_INPUT_BYTES = shipped
 
 
 @pytest.fixture()

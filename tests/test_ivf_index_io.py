@@ -43,6 +43,13 @@ def test_index_roundtrip_search_identical(spark, sf_dir, tmp_path, clean_memo, m
     parts = [p for p in os.listdir(f"{idx}/invlists.parquet") if p.startswith("cluster=")]
     assert len(parts) > 1
 
+    # meta holds the documented (k, n_clusters_nonempty) row (ADVICE
+    # r10: the column was documented but not written) — and the
+    # nonempty count must agree with the on-disk partition layout
+    meta = spark.read.parquet(f"{idx}/meta.parquet").collect()[0]
+    assert set(meta.asDict()) == {"k", "n_clusters_nonempty"}
+    assert meta["n_clusters_nonempty"] == len(parts)
+
     # a fresh session: no memo, no executor-side checkpoint blocks
     CE._IVF_CENTROIDS.clear()
     cent, k, asg = CE.load_ivf_index(spark, sf_dir, idx)

@@ -80,7 +80,10 @@ def probe_once(spark, sf_dir: str) -> dict:
         )
 
     def build_bands(vecs):
-        planes = sim.srp_planes_for(CE._emb_aug_count(spark, sf_dir))
+        # resolve the projection variant exactly as the query resolves
+        # it: n drives the SRP_KERNEL corpus gate (round 11)
+        n_aug = CE._emb_aug_count(spark, sf_dir)
+        planes = sim.srp_planes_for(n_aug)
         return scoped_persist(
             sim.srp_band_buckets(
                 vecs,
@@ -90,6 +93,7 @@ def probe_once(spark, sf_dir: str) -> dict:
                 CE.EMBED_DIM,
                 vec_col="qv",
                 quantized=True,
+                n=n_aug,
             )
         )
 

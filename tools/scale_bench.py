@@ -185,6 +185,7 @@ def _cold(spark) -> None:
     spark.catalog.clearCache()
     catalog_ext._IVF_CENTROIDS.clear()
     catalog_ext._EMB_AUG_COUNT.clear()
+    catalog_ext._EMB_COUNT.clear()
     catalog_ext._DOCS_AUG_COUNT.clear()
     catalog_ext._AUG_OFF.clear()
     # Shuffle files are only reclaimed when ContextCleaner sees the
