@@ -358,15 +358,21 @@ def srp_band_buckets(
 # so kernel and fold agree bit-for-bit on every input the fold
 # accepts — pinned by tests/test_srp_kernel.py.
 #
-# None = auto: kernel when the caller's corpus row count n >=
-# SRP_KERNEL_MIN_N, fold below (the mapInPandas stage pays a fixed
-# Arrow serialization + Python worker cost that the fold's in-JVM
-# evaluation avoids on small corpora). The gate basis is a memoized
-# per-corpus ROW COUNT, never session conf — the round-10 prescreen
-# gate bug (session-order-dependent shuffle-partition proxy,
-# NEARDUP_STAGES.json) is the precedent. True/False force the variant
-# (A/B hooks for tools/srp_kernel_ab.py).
-SRP_KERNEL: bool | None = None
+# ADOPTED round 11, unconditionally (SRP_KERNEL_AB.json,
+# tools/srp_kernel_ab.py — interleaved, 2 repeats per scale, output
+# cell-hash identical across variants every run): the kernel won
+# EVERY measured scale on BOTH SRP consumers — x_embed_cosine_neardup
+# 2.16x at sf0.1 (3.39 s -> 1.57 s), 1.60x at x100, 1.90x at x1000
+# (217.0 s -> 114.3 s); x_ann_lsh_buckets 1.81x / 2.40x / 4.38x
+# (x1000 28.7 s -> 6.6 s). The anticipated small-corpus Arrow/worker
+# overhead did not materialize even at sf0.1's 25.8k vectors — other
+# queries already keep Python workers warm, and the fold's
+# interpreted per-element cost dominates from the first row.
+# False forces the fold (A/B hook); None = auto (kernel at
+# n >= SRP_KERNEL_MIN_N, the corpus-count gate basis kept for a
+# deployment that prefers gating — never session conf, per the
+# round-10 prescreen-gate precedent).
+SRP_KERNEL: bool | None = True
 SRP_KERNEL_MIN_N = 100_000
 
 

@@ -127,11 +127,14 @@ def test_query_output_identical_with_kernel(spark, sf_dir, srp_kernel, name):
     assert run() == base
 
 
-def test_auto_gate_reads_corpus_count_not_session_state(spark):
-    # the gate basis is the caller-memoized per-corpus row count — the
-    # round-10 prescreen bug (session-conf proxy) is the precedent.
-    # n >= SRP_KERNEL_MIN_N plans the mapInPandas kernel, below keeps
-    # the in-JVM fold, n=None (count unknown) keeps the fold.
+def test_auto_gate_reads_corpus_count_not_session_state(spark, srp_kernel):
+    # under None = auto, the gate basis is the caller-memoized
+    # per-corpus row count — the round-10 prescreen bug (session-conf
+    # proxy) is the precedent. n >= SRP_KERNEL_MIN_N plans the
+    # mapInPandas kernel, below keeps the in-JVM fold, n=None (count
+    # unknown) keeps the fold. (The shipped default is True —
+    # unconditional, SRP_KERNEL_AB.json.)
+    srp_kernel(None)
     vec_df = spark.createDataFrame(
         [(0, [1] * DIM)], "vec_id long, v array<int>"
     )
