@@ -1122,21 +1122,64 @@ NEARDUP_PRESCREEN_MIN_N = 100_000
 # so a 5e-7 slack is orders of magnitude more than safe
 _PRESCREEN_KEEP = 0.899999
 
+# How the screen's per-candidate head dot is evaluated (round 11 —
+# with the SRP kernel shipped, the screen join is the query's
+# dominant stage: 51.4 s of 82.3 s at x1000, NEARDUP_STAGES.json,
+# and sim.idot pays a Cast + Coalesce interpreter node per element
+# per candidate over 139 M rows):
+#   "fold"     — sim.idot over the int32 heads (the round-9 shape)
+#   "raw"      — heads stored bigint + null-coalesced ONCE per vector
+#                at slim-build time; per-candidate dot is the pure
+#                multiply-add fold (sim.idot_raw)
+#   "unrolled" — same bigint heads; per-candidate dot is an explicit
+#                h-term codegen expression (sim.idot_unrolled) — the
+#                round-5 fold-vs-unrolled trade re-measured at head
+#                width (16 terms compiles where 64 did not)
+# All three compute the identical integer sum (coalescing elements to
+# 0 once ≡ coalescing each product per candidate), so the kept pair
+# set is unchanged — pinned by tests/test_neardup_prescreen.py.
+# ADOPTED "unrolled" round 11 (SCREEN_DOT_AB.json,
+# tools/screen_dot_ab.py — interleaved, output cell-hash identical in
+# every run): unrolled won EVERY interleaved pass at both decades —
+# x100 10.3 s vs raw 12.1 s vs fold 40.0 s; x1000 over a 3-repeat
+# session 164.6/83.9/59.6 s vs raw 240.7/145.6/80.4 s vs fold
+# 210.8/247.0/130.3 s. Cross-session absolute drift is large there
+# (fold best 80.9 s in one session, 130.3 s in the next), so per-pass
+# ORDERING is the decision basis, and it never flipped. The 16-term
+# expression stays inside whole-stage codegen at every measured scale
+# (the round-5 64-term cliff is 4x away).
+NEARDUP_SCREEN_DOT = "unrolled"
+
 
 def _neardup_prescreen(vecs: DataFrame, cand: DataFrame, h: int) -> DataFrame:
     """Candidate pairs that survive the head/tail-norm upper bound —
-    see NEARDUP_PRESCREEN_HEAD. ``vecs`` is the persisted
-    (vec_id, qv, nrm) table; only the slim projection of it is
-    shuffled here."""
+    see NEARDUP_PRESCREEN_HEAD / NEARDUP_SCREEN_DOT. ``vecs`` is the
+    persisted (vec_id, qv, nrm) table; only the slim projection of it
+    is shuffled here."""
     head = F.slice("qv", 1, h)
+    if NEARDUP_SCREEN_DOT == "fold":
+        qh = head
+        self_dot = sim.idot(head, head)
+        pair_dot = lambda a, b: sim.idot(a, b)  # noqa: E731
+    else:
+        # widen + null-coalesce ONCE per vector: the per-candidate dot
+        # then needs no per-element Cast/Coalesce nodes. Element-level
+        # coalesce ≡ idot's product-level coalesce (0 * x == 0).
+        qh = F.transform(
+            head, lambda x: F.coalesce(x.cast("bigint"), F.lit(0).cast("bigint"))
+        )
+        self_dot = sim.idot_raw(qh, qh)
+        if NEARDUP_SCREEN_DOT == "unrolled":
+            pair_dot = lambda a, b: sim.idot_unrolled(a, b, h)  # noqa: E731
+        else:
+            pair_dot = lambda a, b: sim.idot_raw(a, b)  # noqa: E731
     slim = vecs.select(
         "vec_id",
-        head.alias("qh"),
+        qh.alias("qh"),
         "nrm",
         F.sqrt(
             F.greatest(
-                F.col("nrm") * F.col("nrm")
-                - sim.idot(head, head).cast("double"),
+                F.col("nrm") * F.col("nrm") - self_dot.cast("double"),
                 F.lit(0.0),
             )
         ).alias("tn"),
@@ -1154,7 +1197,7 @@ def _neardup_prescreen(vecs: DataFrame, cand: DataFrame, h: int) -> DataFrame:
         F.col("tn").alias("tb"),
     )
     ub = (
-        sim.idot(F.col("ha"), F.col("hb")).cast("double")
+        pair_dot(F.col("ha"), F.col("hb")).cast("double")
         + F.col("ta") * F.col("tb")
     ) / (F.col("sna") * F.col("snb"))
     return (

@@ -128,3 +128,30 @@ def test_screen_actually_screens(spark, sf_dir, prescreen):
     n_kept = _neardup_prescreen(vecs, cand, 16).count()
     release_persists()
     assert n_kept < n_all, (n_kept, n_all)
+
+
+@pytest.fixture()
+def screen_dot():
+    """Force the screen's head-dot implementation for one test
+    (NEARDUP_SCREEN_DOT, round 11), restoring the shipped default."""
+    shipped = catalog_ext.NEARDUP_SCREEN_DOT
+
+    def _set(v: str):
+        catalog_ext.NEARDUP_SCREEN_DOT = v
+
+    yield _set
+    catalog_ext.NEARDUP_SCREEN_DOT = shipped
+
+
+def test_screen_dot_variants_identical(spark, sf_dir, prescreen, screen_dot):
+    # the three head-dot implementations (int32 fold / bigint raw fold
+    # / bigint unrolled expression) compute the identical integer sum,
+    # so the query output must be identical under each — with the
+    # screen forced ON so the variant actually executes
+    prescreen(16)
+    outs = []
+    for v in ("fold", "raw", "unrolled"):
+        screen_dot(v)
+        outs.append(_pairs(spark, sf_dir))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0]
