@@ -215,6 +215,107 @@ def _minhash_aggs() -> list:
     ]
 
 
+# --- per-doc MinHash signature kernel (round 11) --------------------
+# MINHASH_STAGES.json localized ~70 s of x_dedup_minhash_lsh's 84.9 s
+# x1000 wall to the signature build: tokenize → posexplode (344 M
+# token rows) → doc-keyed lead()-window 3-grams (a 344 M-row shuffle +
+# per-doc sort) → md5 → 12 min-aggregates; x_dedup_ngram_jaccard
+# re-derives the same shingles for its exact verify. The kernel
+# computes (sig[, sh_set]) per document in ONE scan-local mapInPandas
+# pass — no explode, no window shuffle, no aggregate: tokenization,
+# 3-gram assembly and md5 in Python (C-accelerated hashlib), the 12
+# affine mins as one numpy broadcast (a_i*h+b_i fits int64: max a ≈
+# 2.09e6 × h < 2^32 ≈ 9.0e15 < 2^63 — the same arithmetic the JVM
+# and DuckDB evaluate). Semantics mirrored exactly:
+# - tokens: split on JAVA \s ([ \t\n\x0b\f\r]+ — ASCII-only, unlike
+#   Python's Unicode-aware \s) of lower(trim(text)); trim strips
+#   SPACES only (Spark trim), not Python strip()'s full whitespace
+# - n >= 3 tokens → n-2 word-3-grams; fewer → ONE whole-text shingle
+#   (the lead-window's pos==0 fallback; concat_ws keeps empty
+#   strings); null text → no rows (posexplode of null emits nothing)
+# - shingle hash: first 8 md5 hex digits of the UTF-8 bytes, as int
+# - sh_set: distinct shingles (collect_set contents; order never
+#   reaches an output — set-intersection Jaccard is order-blind)
+# Identity pinned variant-vs-variant by tests/test_minhash_kernel.py.
+# ADOPTED round 11, unconditionally (MINHASH_KERNEL_AB.json,
+# tools/minhash_kernel_ab.py — interleaved, 2 repeats per scale,
+# output cell-hash identical every run): the kernel won EVERY
+# measured scale on BOTH consumers — x_dedup_minhash_lsh 1.27x at
+# sf0.1 (2.55 s -> 2.00 s), 2.03x at x100, 2.14x at x1000 (106.8 s ->
+# 49.9 s); x_dedup_ngram_jaccard 1.13x / 1.18x / 1.54x (120.0 s ->
+# 77.8 s at x1000). False forces the explode+window fold (A/B hook);
+# None = auto (kernel at >= MINHASH_KERNEL_MIN_N augmented docs —
+# corpus-count basis kept for a deployment that prefers gating).
+MINHASH_SIG_KERNEL: bool | None = True
+MINHASH_KERNEL_MIN_N = 100_000
+
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _minhash_sigs_kernel(docs: DataFrame, with_set: bool = False) -> DataFrame:
+    """(doc_id, sig[, sh_set]) via the per-doc Python kernel — see
+    MINHASH_SIG_KERNEL. ``docs`` must expose (doc_id, text)."""
+    import numpy as np
+
+    a = np.array(
+        [tx.MINHASH_A0 + tx.MINHASH_A_STEP * i for i in range(MINHASH_K)],
+        dtype=np.int64,
+    )[:, None]
+    b = np.array(
+        [tx.MINHASH_B0 + tx.MINHASH_B_STEP * i for i in range(MINHASH_K)],
+        dtype=np.int64,
+    )[:, None]
+    p = tx.MINHASH_P
+    schema = "doc_id bigint, sig array<bigint>" + (
+        ", sh_set array<string>" if with_set else ""
+    )
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        split = re.compile(_JAVA_WS).split
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, sigs, sets = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = split(text.strip(" ").lower())
+                n = len(toks)
+                if n >= 3:
+                    sh = [
+                        toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                        for i in range(n - 2)
+                    ]
+                else:
+                    sh = [" ".join(toks)]
+                hs = np.array(
+                    [int(md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                    dtype=np.int64,
+                )
+                sigs.append(((a * hs[None, :] + b) % p).min(axis=1).tolist())
+                ids.append(doc_id)
+                if with_set:
+                    sets.append(list(dict.fromkeys(sh)))
+            if not ids:  # a batch of only-null texts: an empty pandas
+                continue  # frame defaults to float64 cols Arrow rejects
+            d = {"doc_id": ids, "sig": sigs}
+            if with_set:
+                d["sh_set"] = sets
+            yield pd.DataFrame(d)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def _minhash_kernel_on(spark: SparkSession, sf_dir: str) -> bool:
+    if MINHASH_SIG_KERNEL is not None:
+        return MINHASH_SIG_KERNEL
+    return _docs_aug_count(spark, sf_dir) >= MINHASH_KERNEL_MIN_N
+
+
 def _minhash_band_cands(sigs: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs from the 4×3 LSH
     banding of a (doc_id, sig) table — the one candidate generator
@@ -297,15 +398,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's list_distinct needs no mirror here. persist: the
     # signature table feeds three plan branches (banding + both
     # candidate-join sides).
-    sh = _shingle_rows(docs)
-    mins = (
-        sh.select("doc_id", _shingle_h().alias("h"))
-        .groupBy("doc_id")
-        .agg(*_minhash_aggs())
-    )
-    sigs = scoped_persist(mins.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
-    ))
+    if _minhash_kernel_on(spark, sf_dir):
+        # scale shape (MINHASH_SIG_KERNEL): per-doc signatures in one
+        # scan-local pass — no token explode, no window shuffle
+        sigs = scoped_persist(_minhash_sigs_kernel(docs))
+    else:
+        sh = _shingle_rows(docs)
+        mins = (
+            sh.select("doc_id", _shingle_h().alias("h"))
+            .groupBy("doc_id")
+            .agg(*_minhash_aggs())
+        )
+        sigs = scoped_persist(mins.select(
+            "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+        ))
     cand = _minhash_band_cands(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -606,18 +712,23 @@ WHERE len(list_intersect(a.shingles, b.shingles))
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    # shingle rows via the shared codegen explode+lead path; ONE
-    # groupBy(doc_id) produces both the MinHash signature and the
-    # exact-verify shingle set
-    sh = _shingle_rows(docs)
-    per_doc = (
-        sh.select("doc_id", "shingle", _shingle_h().alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"), *_minhash_aggs())
-        .select(
-            "doc_id", "sh_set", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    if _minhash_kernel_on(spark, sf_dir):
+        # scale shape (MINHASH_SIG_KERNEL): signature AND exact-verify
+        # shingle set from one scan-local per-doc pass
+        per_doc = _minhash_sigs_kernel(docs, with_set=True)
+    else:
+        # shingle rows via the shared codegen explode+lead path; ONE
+        # groupBy(doc_id) produces both the MinHash signature and the
+        # exact-verify shingle set
+        sh = _shingle_rows(docs)
+        per_doc = (
+            sh.select("doc_id", "shingle", _shingle_h().alias("h"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"), *_minhash_aggs())
+            .select(
+                "doc_id", "sh_set", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+            )
         )
-    )
     per_doc = scoped_persist(per_doc)
     cand = _minhash_band_cands(per_doc)
     if NGRAM_SIZE_SCREEN:
