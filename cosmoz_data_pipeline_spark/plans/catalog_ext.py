@@ -148,7 +148,11 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash blocking picks its block scheme from the corpus size (the
 # same sizing-needs-only-the-count rationale as _EMB_AUG_COUNT): one
 # id-pruned count, not a materialization of the augmented projection.
+# The base (unaugmented) count rides the same scan — x_decontaminate
+# runs on the RAW documents table, and its kernel auto-gate must not
+# pay a second count job.
 _DOCS_AUG_COUNT: dict[str, int] = {}
+_DOCS_COUNT: dict[str, int] = {}
 
 
 def _docs_aug_count(spark: SparkSession, sf_dir: str) -> int:
@@ -166,7 +170,15 @@ def _docs_aug_count(spark: SparkSession, sf_dir: str) -> int:
         )
         n = r["n"] + r["n11"] + r["n5"]
         _DOCS_AUG_COUNT[key] = n
+        _DOCS_COUNT[key] = r["n"]
     return n
+
+
+def _docs_count(spark: SparkSession, sf_dir: str) -> int:
+    key = sf_dir.rstrip("/")
+    if key not in _DOCS_COUNT:
+        _docs_aug_count(spark, sf_dir)
+    return _DOCS_COUNT[key]
 
 
 # ---------------------------------------------------------------- dedup
@@ -314,6 +326,144 @@ def _minhash_kernel_on(spark: SparkSession, sf_dir: str) -> bool:
     if MINHASH_SIG_KERNEL is not None:
         return MINHASH_SIG_KERNEL
     return _docs_aug_count(spark, sf_dir) >= MINHASH_KERNEL_MIN_N
+
+
+# SimHash sibling of MINHASH_SIG_KERNEL: tx.simhash64_bands shuffles
+# every exploded token row (344 M at x1000) into a doc-keyed 64-sum
+# aggregate; the kernel computes the identical per-doc bit votes and
+# band packing in one scan-local pass (md5 per token in Python, the
+# 64 ±1 votes and 16-bit packs as numpy integer ops — engine-exact).
+# Duplicate tokens vote repeatedly and empty-string tokens vote too,
+# exactly like the explode path; null text emits no row. Identity
+# pinned by tests/test_tokenstats_kernels.py.
+#
+# ADJUDICATED round 11 (TOKENSTATS_KERNEL_AB.json, interleaved,
+# 2 repeats, identical output hashes) — the ONE sibling whose explode
+# path does NOT lose at scale: SimHash needs no lead window, so its
+# doc-keyed shuffle carries map-side partially-aggregated 64-sum rows
+# (~docs, not tokens) and stays cheap where MinHash's 344 M-row
+# window shuffle drowned. Measured: kernel 1.86x at sf0.1 (4.25 s ->
+# 2.29 s; the 64-agg codegen compile dominates tiny corpora), 1.07x
+# at x100 (noise-level), 0.94x at x1000 — the kernel's per-token
+# Python md5 LOSES to the already-cheap shuffle at scale. So the
+# auto gate is INVERTED relative to the other kernels: kernel BELOW
+# SIMHASH_KERNEL_MAX_N augmented docs, explode path above (the
+# measured crossover lies between x100's 645 k and x1000's 6.45 M).
+SIMHASH_SIG_KERNEL: bool | None = None
+SIMHASH_KERNEL_MAX_N = 1_000_000
+
+# Decontamination sibling: _decon_sides derives each document's
+# DISTINCT word-3-gram hash set through the same explode + lead-window
+# shuffle; the kernel builds the set per doc in-row (docs with < 3
+# tokens emit NO row — the window path's g is null-gated with no
+# whole-text fallback here, unlike MinHash shingles).
+# ADOPTED round 11, unconditionally (TOKENSTATS_KERNEL_AB.json,
+# identical output hashes every run): kernel 1.39x at sf0.1, 2.76x at
+# x100, 2.93x at x1000 (174.9 s -> 59.7 s) — the lead-window shuffle
+# of every token row dies the same way MinHash's did.
+DECON_GRAM_KERNEL: bool | None = True
+
+
+def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s3) 64-bit SimHash as 4 × 16-bit bands via the
+    per-doc kernel — bit-identical to tx.simhash64_bands (see
+    SIMHASH_SIG_KERNEL)."""
+    import numpy as np
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        split = re.compile(_JAVA_WS).split
+        md5 = hashlib.md5
+        j32 = np.arange(32, dtype=np.int64)
+        pack = (np.int64(1) << np.arange(16, dtype=np.int64))
+        for pdf in batches:
+            ids, bands = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = split(text.strip(" ").lower())
+                hexes = [md5(t.encode()).hexdigest() for t in toks]
+                hi = np.array([int(x[:8], 16) for x in hexes], dtype=np.int64)
+                lo = np.array([int(x[8:16], 16) for x in hexes], dtype=np.int64)
+                # votes: bit j<32 from h_lo, j>=32 from h_hi (the
+                # explode path's bit_vote layout); ±1 per token
+                bits = np.concatenate(
+                    [
+                        ((lo[:, None] >> j32) & 1),
+                        ((hi[:, None] >> j32) & 1),
+                    ],
+                    axis=1,
+                )
+                c = (2 * bits - 1).sum(axis=0)
+                s = ((c.reshape(4, 16) > 0) * pack).sum(axis=1)
+                ids.append(doc_id)
+                bands.append(s.astype(np.int32))
+            if not ids:
+                continue
+            b = np.stack(bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "s0": b[:, 0],
+                    "s1": b[:, 1],
+                    "s2": b[:, 2],
+                    "s3": b[:, 3],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, s0 int, s1 int, s2 int, s3 int"
+    )
+
+
+def _decon_gram_sets_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, hs) distinct word-3-gram hash sets via the
+    per-doc kernel — identical contents to _decon_sides' explode +
+    window + collect_set path (see DECON_GRAM_KERNEL). Docs with < 3
+    tokens emit no row."""
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        split = re.compile(_JAVA_WS).split
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, srcs, sets = [], [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                toks = split(text.strip(" ").lower())
+                n = len(toks)
+                if n < 3:
+                    continue
+                hs = {
+                    int(
+                        md5(
+                            (toks[i] + " " + toks[i + 1] + " " + toks[i + 2]).encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    for i in range(n - 2)
+                }
+                ids.append(doc_id)
+                srcs.append(source)
+                sets.append(list(hs))
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "source": srcs, "hs": sets})
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        gen, "doc_id bigint, source string, hs array<bigint>"
+    )
 
 
 def _minhash_band_cands(sigs: DataFrame) -> DataFrame:
@@ -608,7 +758,17 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
     "oracle keeps the simpler 4x16 pigeonhole rule and must agree.",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
+    docs = _docs_aug(spark, sf_dir)
+    use_kernel = (
+        SIMHASH_SIG_KERNEL
+        if SIMHASH_SIG_KERNEL is not None
+        # INVERTED gate — kernel only below the measured crossover,
+        # see SIMHASH_KERNEL_MAX_N
+        else _docs_aug_count(spark, sf_dir) < SIMHASH_KERNEL_MAX_N
+    )
+    sigs = scoped_persist(
+        _simhash_sigs_kernel(docs) if use_kernel else tx.simhash64_bands(docs)
+    )
     cand = _simhash_combo_cands(sigs, _docs_aug_count(spark, sf_dir))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -765,19 +925,29 @@ def _decon_sides(spark: SparkSession, sf_dir: str):
     split out so the scale sweep can count both sides and the pre-agg
     match rows as stage metrics through the exact query code path."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
-    ).select("doc_id", "source", F.posexplode("toks").alias("pos", "tok"))
-    seqw = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
-    g = F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
-    h = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-    per_doc = (
-        toked.select("doc_id", "source", h.alias("h"))
-        .where(F.col("h").isNotNull())
-        .groupBy("doc_id", "source")
-        .agg(F.collect_set("h").alias("hs"))
+    use_kernel = (
+        DECON_GRAM_KERNEL
+        if DECON_GRAM_KERNEL is not None
+        else _docs_count(spark, sf_dir) >= MINHASH_KERNEL_MIN_N
     )
+    if use_kernel:
+        # scale shape (DECON_GRAM_KERNEL): distinct 3-gram hash sets
+        # per doc in one scan-local pass — no explode, no window
+        per_doc = _decon_gram_sets_kernel(docs)
+    else:
+        toked = docs.select(
+            "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
+        ).select("doc_id", "source", F.posexplode("toks").alias("pos", "tok"))
+        seqw = Window.partitionBy("doc_id").orderBy("pos")
+        t1, t2 = F.lead("tok", 1).over(seqw), F.lead("tok", 2).over(seqw)
+        g = F.when(t2.isNotNull(), F.concat_ws(" ", "tok", t1, t2))
+        h = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+        per_doc = (
+            toked.select("doc_id", "source", h.alias("h"))
+            .where(F.col("h").isNotNull())
+            .groupBy("doc_id", "source")
+            .agg(F.collect_set("h").alias("hs"))
+        )
     tr = per_doc.where(F.col("source") != DECON_EVAL_SOURCE).select(
         F.col("doc_id").alias("train_doc"),
         F.size("hs").cast("long").alias("n_train_shingles"),
