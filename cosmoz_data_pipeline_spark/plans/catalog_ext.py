@@ -357,11 +357,18 @@ SIMHASH_KERNEL_MAX_N = 1_000_000
 # shuffle; the kernel builds the set per doc in-row (docs with < 3
 # tokens emit NO row — the window path's g is null-gated with no
 # whole-text fallback here, unlike MinHash shingles).
-# ADOPTED round 11, unconditionally (TOKENSTATS_KERNEL_AB.json,
-# identical output hashes every run): kernel 1.39x at sf0.1, 2.76x at
-# x100, 2.93x at x1000 (174.9 s -> 59.7 s) — the lead-window shuffle
-# of every token row dies the same way MinHash's did.
-DECON_GRAM_KERNEL: bool | None = True
+# ADOPTED round 11, CORPUS-GATED (None = auto: kernel at >=
+# MINHASH_KERNEL_MIN_N raw documents, fold below).
+# TOKENSTATS_KERNEL_AB.json (identical output hashes every run):
+# kernel 2.76x at x100, 2.93x at x1000 (174.9 s -> 59.7 s) — the
+# lead-window shuffle of every token row dies the same way MinHash's
+# did. At sf0.1 the evidence CONFLICTS: the tokenstats A/B read a
+# small kernel win (2.16 s -> 1.56 s) but the full-round
+# BENCH_AB_r11 (3 passes x 2 repeats, bench cold policy) read the
+# kernel 1.28x SLOWER (1.27 s -> 1.63 s) — sub-2-second cold numbers
+# at the noise floor, so the gate keeps the fold where the win is
+# unproven and the kernel where it is decisive.
+DECON_GRAM_KERNEL: bool | None = None
 
 
 def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
