@@ -472,9 +472,21 @@ def srp_band_buckets_kernel(
 
     spark = vec_df.sparkSession
     r = planes_per_band
-    key = (spark.sparkContext.applicationId, bands, r, dim)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, bands, r, dim)
     bc = _SRP_BANK_BC.get(key)
     if bc is None:
+        # evict-and-destroy entries from DEAD applications first
+        # (round 12, ADVICE r11): a long-lived process that stops and
+        # rebuilds sessions would otherwise accumulate one plane bank
+        # + driver-side Broadcast state per dead app forever —
+        # single-app-at-a-time sessions make this a one-line sweep
+        for k in [k for k in _SRP_BANK_BC if k[0] != app_id]:
+            old = _SRP_BANK_BC.pop(k)
+            try:
+                old.destroy()
+            except Exception:
+                pass  # dead context already released it
         bc = spark.sparkContext.broadcast(srp_weight_matrix(bands, r, dim))
         _SRP_BANK_BC[key] = bc
     # float64 partial sums stay exact while max|q| * |w| * dim < 2^53;

@@ -155,9 +155,24 @@ _DOCS_AUG_COUNT: dict[str, int] = {}
 _DOCS_COUNT: dict[str, int] = {}
 
 
+def clear_counts() -> None:
+    """Invalidate every corpus-cardinality memo as one unit (round 12,
+    ADVICE r11): the aug/base dicts are filled by the same scan, so
+    tools that clear only one of a pair leave the other to serve a
+    stale (or, with the recompute keyed on both, merely redundant)
+    value. Tools should call this instead of clearing dicts piecemeal."""
+    _DOCS_AUG_COUNT.clear()
+    _DOCS_COUNT.clear()
+    _EMB_AUG_COUNT.clear()
+    _EMB_COUNT.clear()
+
+
 def _docs_aug_count(spark: SparkSession, sf_dir: str) -> int:
     key = sf_dir.rstrip("/")
-    n = _DOCS_AUG_COUNT.get(key)
+    # recompute when EITHER memo of the pair is missing (ADVICE r11):
+    # a tool that cleared only the base dict must not be answered from
+    # the aug memo without the base being refilled
+    n = _DOCS_AUG_COUNT.get(key) if key in _DOCS_COUNT else None
     if n is None:
         r = (
             load_table(spark, sf_dir, "documents")
@@ -1293,7 +1308,9 @@ _EMB_COUNT: dict[str, int] = {}
 
 def _emb_aug_count(spark: SparkSession, sf_dir: str) -> int:
     key = sf_dir.rstrip("/")
-    n = _EMB_AUG_COUNT.get(key)
+    # recompute when EITHER memo of the pair is missing — see
+    # _docs_aug_count (ADVICE r11)
+    n = _EMB_AUG_COUNT.get(key) if key in _EMB_COUNT else None
     if n is None:
         r = (
             load_table(spark, sf_dir, "embeddings")
@@ -1452,9 +1469,25 @@ def _neardup_prescreen(vecs: DataFrame, cand: DataFrame, h: int) -> DataFrame:
     else:
         # widen + null-coalesce ONCE per vector: the per-candidate dot
         # then needs no per-element Cast/Coalesce nodes. Element-level
-        # coalesce ≡ idot's product-level coalesce (0 * x == 0).
+        # coalesce ≡ idot's product-level coalesce (0 * x == 0). A
+        # vector SHORTER than h is zero-padded to width h here (round
+        # 12, ADVICE r11): slicing a ragged qv yields a short array
+        # whose missing getItem/zip terms would otherwise propagate
+        # NULL through idot_raw/idot_unrolled and silently DROP the
+        # pair, where the retired idot fold coalesced each product to
+        # 0 and kept it — padding once per vector restores exactly
+        # that semantics (0 * x == 0). A whole-NULL qv stays NULL
+        # under concat, matching the fold (aggregate over a NULL
+        # zip_with is NULL in both shapes).
         qh = F.transform(
             head, lambda x: F.coalesce(x.cast("bigint"), F.lit(0).cast("bigint"))
+        )
+        qh = F.concat(
+            qh,
+            F.array_repeat(
+                F.lit(0).cast("bigint"),
+                F.greatest(F.lit(0), F.lit(h) - F.size(qh)),
+            ),
         )
         self_dot = sim.idot_raw(qh, qh)
         if NEARDUP_SCREEN_DOT == "unrolled":
@@ -1854,8 +1887,10 @@ IVF_D2_EXPAND: bool = True
 # anticipated small-corpus penalty (a collect per Lloyd superstep
 # un-fuses the lazily-chained train job) did not materialize even at
 # sf0.01, so no corpus gate. False re-takes the measurement; None =
-# the shared >=128-partition corpus gate, kept as a measurement
-# hook.
+# the shared frame-input-bytes gate (bucketed_window.bucketed_auto,
+# >= 512 MiB of the measured frame's own inputs — here the
+# embeddings-derived qv frame, NOT total corpus bytes loaded), kept
+# as a measurement hook.
 IVF_ASSIGN_NUMPY: bool | None = True
 
 # float64 stays exact while every |q| <= 2^22 (products < 2^44,

@@ -155,3 +155,63 @@ def test_screen_dot_variants_identical(spark, sf_dir, prescreen, screen_dot):
         outs.append(_pairs(spark, sf_dir))
     assert outs[0] == outs[1] == outs[2]
     assert outs[0]
+
+
+def test_screen_dot_variants_identical_on_ragged_vectors(spark, screen_dot):
+    # round 12 (ADVICE r11): a qv SHORTER than the head width h slices
+    # to a short array; the raw/unrolled dots read h positional terms,
+    # so without the slim-build zero-padding a missing term would
+    # propagate NULL through ub and silently DROP the pair where the
+    # fold's per-product coalesce kept it. All three variants must
+    # keep the identical pair set on ragged input — and near-identical
+    # short vectors must actually SURVIVE the screen.
+    from cosmoz_data_pipeline_spark.plans.catalog_ext import _neardup_prescreen
+
+    h = 16
+    vs = [
+        (1, [0.4] * 4),                   # shorter than h
+        (2, [0.4] * 4),                   # identical twin: cosine 1.0
+        (3, [0.4] * 24),                  # longer than h
+        (4, [0.4] * 24),
+        (5, [0.4] * 16),                  # exactly h
+        (6, [0.4] * 3 + [-0.4]),          # short, dissimilar to 1/2
+    ]
+    vecs = (
+        spark.createDataFrame(vs, "vec_id int, v array<double>")
+        .select("vec_id", sim.quantize(F.col("v")).alias("qv"))
+        .select("vec_id", "qv", sim.qnorm(F.col("qv")).alias("nrm"))
+    )
+    ids = [i for i, _ in vs]
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "vec_a int, vec_b int"
+    )
+    kept = {}
+    for v in ("fold", "raw", "unrolled"):
+        screen_dot(v)
+        kept[v] = {
+            (r["vec_a"], r["vec_b"])
+            for r in _neardup_prescreen(vecs, cand, h).collect()
+        }
+    assert kept["fold"] == kept["raw"] == kept["unrolled"]
+    # the ragged twins' bound is cosine 1.0 >= keep threshold: the
+    # pair the null-propagation bug dropped must be present
+    assert (1, 2) in kept["fold"]
+    assert (3, 4) in kept["fold"]
+
+
+def test_count_memo_pair_refills_together(spark, sf_dir):
+    # round 12 (ADVICE r11): clearing only the BASE count memo while
+    # the aug memo stays populated must not KeyError (the aug memo
+    # recomputes and refills both), and clear_counts() drops all four
+    from cosmoz_data_pipeline_spark.plans import catalog_ext as ce
+
+    n_docs = ce._docs_count(spark, sf_dir)
+    n_emb = ce._emb_count(spark, sf_dir)
+    ce._DOCS_COUNT.clear()
+    ce._EMB_COUNT.clear()
+    assert ce._docs_count(spark, sf_dir) == n_docs
+    assert ce._emb_count(spark, sf_dir) == n_emb
+    ce.clear_counts()
+    assert not ce._DOCS_AUG_COUNT and not ce._DOCS_COUNT
+    assert not ce._EMB_AUG_COUNT and not ce._EMB_COUNT
+    assert ce._docs_count(spark, sf_dir) == n_docs

@@ -152,3 +152,33 @@ def test_auto_gate_reads_corpus_count_not_session_state(spark, srp_kernel):
     assert "MapInPandas" not in plan_small
     assert "MapInPandas" in plan_big
     assert "MapInPandas" not in plan_none
+
+
+def test_bank_broadcast_memo_evicts_dead_applications(spark):
+    # round 12 (ADVICE r11): the plane-bank broadcast memo is keyed by
+    # applicationId and must evict-and-DESTROY entries from dead
+    # applications on insert, or a long-lived process that rebuilds
+    # sessions accumulates Broadcast state forever
+    destroyed = []
+
+    class FakeBc:
+        def destroy(self):
+            destroyed.append(True)
+
+    stale_key = ("dead-app-id", 8, 4, 16)
+    sim._SRP_BANK_BC[stale_key] = FakeBc()
+    # the sweep runs on insert: drop the live app's entry (if an
+    # earlier test built it) so this call takes the build branch
+    live_key = (spark.sparkContext.applicationId, 8, 4, 16)
+    sim._SRP_BANK_BC.pop(live_key, None)
+    df = spark.createDataFrame(
+        [(1, [0.1] * 16)], "vec_id int, v array<double>"
+    )
+    try:
+        sim.srp_band_buckets_kernel(df, 8, 4, 16).collect()
+        assert stale_key not in sim._SRP_BANK_BC
+        assert destroyed == [True]
+        live = [k for k in sim._SRP_BANK_BC if k[1:] == (8, 4, 16)]
+        assert live and live[0][0] == spark.sparkContext.applicationId
+    finally:
+        sim._SRP_BANK_BC.pop(stale_key, None)

@@ -184,10 +184,7 @@ def _cold(spark) -> None:
     release_persists()
     spark.catalog.clearCache()
     catalog_ext._IVF_CENTROIDS.clear()
-    catalog_ext._EMB_AUG_COUNT.clear()
-    catalog_ext._EMB_COUNT.clear()
-    catalog_ext._DOCS_AUG_COUNT.clear()
-    catalog_ext._DOCS_COUNT.clear()
+    catalog_ext.clear_counts()
     catalog_ext._AUG_OFF.clear()
     # Shuffle files are only reclaimed when ContextCleaner sees the
     # ShuffleDependency objects garbage-collected — and a 64 GiB-heap

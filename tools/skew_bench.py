@@ -51,7 +51,7 @@ def _cold(spark) -> None:
     release_persists()
     spark.catalog.clearCache()
     catalog_ext._IVF_CENTROIDS.clear()
-    catalog_ext._EMB_AUG_COUNT.clear()
+    catalog_ext.clear_counts()
     catalog_ext._AUG_OFF.clear()
 
 
