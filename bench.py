@@ -49,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 
 # Timed COLD including the index build; everything else is also cold
@@ -65,7 +66,7 @@ def _cold(spark) -> None:
     release_persists()
     spark.catalog.clearCache()
     catalog_ext._IVF_CENTROIDS.clear()
-    catalog_ext._EMB_AUG_COUNT.clear()
+    catalog_ext.clear_counts()
     catalog_ext._AUG_OFF.clear()
 
 
@@ -77,6 +78,13 @@ def main() -> None:
 
     # warmup: JVM + parquet footer reads
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    # drift sentinel (round 12): a frozen, never-optimized workload
+    # timed in every capture so cross-round totals are interpretable
+    # without re-running old commits — see cosmoz_data_pipeline_spark/
+    # sentinel.py. Captured BEFORE and AFTER the query passes: the
+    # pair bounds within-session drift too.
+    sent_pre = sentinel_sec(spark)
 
     # Measurement policy (since round 3 — r2 numbers were warm-cache
     # min-of-2, not comparable): cold-cache before EVERY run, min-of-3
@@ -106,6 +114,8 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
     _cold(spark)
+    sent_post = sentinel_sec(spark)
+    sent = min(sent_pre, sent_post)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -116,6 +126,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinel_sec": sent,
+                "sentinel_pre_sec": sent_pre,
+                "sentinel_post_sec": sent_post,
+                "sentinel_ref_sec": SENTINEL_REF_SEC,
+                "value_normalized": round(total * SENTINEL_REF_SEC / sent, 3),
+                "sentinel_note": "normalized = raw * (sentinel_ref_sec / "
+                "sentinel_sec): what this total would read on the "
+                "reference-speed host. Compare value_normalized across "
+                "rounds; raw value only within one session.",
                 "policy": "min-of-3, cold cache per run (persists, SQL cache and "
                 "index/corpus memos cleared before every run; x_ann_ivf_topk_search "
                 "alone runs against a warm centroid memo rebuilt outside the timer). "

@@ -97,3 +97,23 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
         f"probe read {pruned} files of {full} — pruning had no effect"
     )
     spark.catalog.clearCache()
+
+
+def test_drift_sentinel_checksums_and_timing(spark):
+    # round 12 (VERDICT r11 wrong #1): the frozen drift sentinel must
+    # produce its pinned bit_xor checksums (a wrong result can never
+    # masquerade as a fast one) and a positive wall time
+    from cosmoz_data_pipeline_spark import sentinel
+
+    dt = sentinel.sentinel_once(spark)
+    assert dt > 0
+    # tampering with the workload constants must raise loudly
+    orig = sentinel._CPU_XOR
+    sentinel._CPU_XOR = 0
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="sentinel checksum"):
+            sentinel.sentinel_once(spark)
+    finally:
+        sentinel._CPU_XOR = orig

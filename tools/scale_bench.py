@@ -82,6 +82,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.scale_corpus import ALL_TABLES, BASE_EVENTS, ensure_corpus  # noqa: E402
 
@@ -365,6 +366,14 @@ def main() -> None:
             else (lambda s, d, _n=name: time_query(s, _n, d))
         )
         probe = catalog_ext.STAGE_PROBES.get(name)
+        # drift sentinel (round 12, VERDICT r11 wrong #1): a frozen
+        # host-speed token captured immediately before EACH query's
+        # decades — multi-hour sweeps drift WITHIN a session, so a
+        # per-sweep token is not enough. t_sec_normalized is what the
+        # timing would read on the reference-speed host.
+        snt = sentinel_sec(spark, repeats=2)
+        print(f"{name:28s} sentinel {snt:.2f}s "
+              f"(ref {SENTINEL_REF_SEC})", file=sys.stderr)
         times, rows, mets, counts = [], [], [], []
         for d, mult in q_corpora:
             t, r, m = timer(spark, d)
@@ -393,6 +402,11 @@ def main() -> None:
         ]
         entry = {
             "t_sec": {f"x{mult}": t for (_, mult), t in zip(q_corpora, times)},
+            "sentinel_sec": snt,
+            "t_sec_normalized": {
+                f"x{mult}": round(t * SENTINEL_REF_SEC / snt, 2)
+                for (_, mult), t in zip(q_corpora, times)
+            },
             "rows": {f"x{mult}": r for (_, mult), r in zip(q_corpora, rows)},
             "scaling_exponent_per_decade": {
                 f"x{q_corpora[i][1]}->x{q_corpora[i + 1][1]}": alphas[i]
@@ -429,6 +443,12 @@ def _write_artifact(out: dict[str, dict]) -> None:
         out = {k: prev[k] for k in QUERIES if k in prev}
     result = {
         "metric": "multi_decade_scaling",
+        "sentinel_ref_sec": SENTINEL_REF_SEC,
+        "sentinel_policy": "per-query min-of-2 of the frozen sentinel "
+        "(cosmoz_data_pipeline_spark/sentinel.py), captured just before "
+        "each query's decades; t_sec_normalized = t_sec * (ref/sentinel). "
+        "Compare normalized columns across rounds/sessions; raw t_sec "
+        "only within one capture.",
         "corpus": "tools/scale_corpus.py (same generator at every scale; "
         "marker-gated reuse; missing tables generated in place)",
         "policy": "min-of-2 cold (persists released, caches + index/corpus-"
