@@ -1,0 +1,129 @@
+"""Stage probe for st1_incremental_overwrite (round 12, VERDICT r11
+next #3): the query is 11.3 s of the 62.6 s sf0.1 bench
+(BENCH_AB_r11.json) and constant-ish across rounds; this probe splits
+that wall into its real parts so round 12 knows whether it is a fixed
+floor or a scaling lever. The query (plans/catalog_streaming.py
+q_incremental_overwrite) is NOT a Structured-Streaming job — it is
+the reference's cron-style incremental batch (process_levels.sh:19-20)
+as two dynamic-partition-overwrite parquet writes plus a full
+read-back:
+
+- prefix_sec: domain synth (raw_values derived from events) up to a
+  materialized count — the shared input cost
+- backfill_sec: incremental_overwrite over the FULL window (writes
+  every (site_no, p_date) partition of the table)
+- incr_sec: incremental_overwrite over the Jan-10+ window (the
+  steady-state nightly run — touches only the tail partitions)
+- readback_sec: full-table read-back + count (the oracle-compare
+  read; a deployment does not pay this)
+
+Usage: python tools/st1_stage_probe.py [dir:label ...] [--repeats N]
+Writes ST1_STAGES.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cosmoz_data_pipeline_spark.plans import catalog_streaming as CS  # noqa: E402
+from cosmoz_data_pipeline_spark.plans.registry import release_persists  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
+from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
+from cosmoz_data_pipeline_spark.streaming.incremental import (  # noqa: E402
+    incremental_overwrite,
+)
+from tools.scale_bench import _cold  # noqa: E402
+
+DEFAULT_CORPORA = (("/root/testdata/sf0.1", "sf0.1"),)
+
+
+def _one(spark, sf_dir: str) -> dict:
+    from cosmoz_data_pipeline_spark.domain.synth import load_domain
+
+    _cold(spark)
+    scratch = CS._scratch("st1_probe")
+    sink = os.path.join(scratch, "sink")
+    t0 = time.time()
+    raw = load_domain(spark, sf_dir)["raw_values"].select(
+        "time", "site_no", "count", "battery"
+    )
+    n_in = raw.count()
+    t1 = time.time()
+    incremental_overwrite(raw, sink, since="2021-01-01 00:00:00")
+    t2 = time.time()
+    incremental_overwrite(raw, sink, since="2021-01-10 12:00:00")
+    t3 = time.time()
+    n_back = spark.read.parquet(sink).count()
+    t4 = time.time()
+    n_parts = sum(
+        1
+        for site in os.listdir(sink)
+        if site.startswith("site_no=")
+        for _d in os.listdir(os.path.join(sink, site))
+    )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    release_persists()
+    _cold(spark)
+    return {
+        "prefix_sec": round(t1 - t0, 3),
+        "backfill_sec": round(t2 - t1, 3),
+        "incr_sec": round(t3 - t2, 3),
+        "readback_sec": round(t4 - t3, 3),
+        "total_sec": round(t4 - t0, 3),
+        "rows_in": n_in,
+        "rows_back": n_back,
+        "site_day_partitions": n_parts,
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    repeats = 3
+    if "--repeats" in args:
+        i = args.index("--repeats")
+        repeats = int(args[i + 1])
+        del args[i : i + 2]
+    corpora = (
+        [tuple(a.rsplit(":", 1)) for a in args] if args else list(DEFAULT_CORPORA)
+    )
+    spark = build_session(app_name="st1-stages")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {
+        "metric": "st1_incremental_overwrite_stages",
+        "unit": "sec",
+        "repeats": repeats,
+        "sentinel_ref_sec": SENTINEL_REF_SEC,
+        "corpora": {},
+    }
+    for d, label in corpora:
+        snt = sentinel_sec(spark, repeats=2)
+        best = None
+        for _ in range(repeats):
+            rec = _one(spark, d)
+            print(f"{label:6s} {json.dumps(rec)}", flush=True)
+            if best is None or rec["total_sec"] < best["total_sec"]:
+                best = rec
+        best["sentinel_sec"] = snt
+        best["total_normalized"] = round(
+            best["total_sec"] * SENTINEL_REF_SEC / snt, 2
+        )
+        out["corpora"][label] = best
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ST1_STAGES.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
