@@ -283,14 +283,39 @@ def _minhash_aggs() -> list:
 MINHASH_SIG_KERNEL: bool | None = True
 MINHASH_KERNEL_MIN_N = 100_000
 
+# Where the kernel's per-shingle md5 runs (round 12, VERDICT r11 next
+# #6 — the adopted kernels' per-shingle Python `hashlib.md5` was the
+# one shape whose 100 TB extrapolation rested on Python-side
+# throughput). The kernel's A/B-won job is the 3-gram ASSEMBLY
+# without the 344 M-row lead-window shuffle; the hashing itself never
+# needed Python: with "jvm", the kernel emits the distinct shingle
+# STRINGS only and the md5 prefix + 12 affine minima are evaluated
+# JVM-side as nested transform()/array_min() expressions over the
+# array column — scan-local, whole-stage codegen, one md5 per
+# distinct shingle (the Python path hashes duplicate shingles too).
+# MinHash minima over the distinct set equal minima over the full
+# multiset, so signatures are identical; identity pinned by
+# tests/test_minhash_kernel.py.
+# ADOPTED round 12 (JVMHASH_AB.json, interleaved, identical output
+# hashes every run): see the artifact for the per-scale numbers.
+MINHASH_HASH_WHERE: str = "jvm"  # "jvm" | "python"
+
 _JAVA_WS = r"[ \t\n\x0b\f\r]+"
 
 
+def _h_expr(c) -> F.Column:
+    """int64 md5-prefix hash of a shingle expression — the lambda-var
+    form of _shingle_h (identical in both engines and both kernels)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
 def _minhash_sigs_kernel(docs: DataFrame, with_set: bool = False) -> DataFrame:
-    """(doc_id, sig[, sh_set]) via the per-doc Python kernel — see
-    MINHASH_SIG_KERNEL. ``docs`` must expose (doc_id, text)."""
+    """(doc_id, sig[, sh_set]) via the per-doc kernel — see
+    MINHASH_SIG_KERNEL / MINHASH_HASH_WHERE. ``docs`` must expose
+    (doc_id, text)."""
     import numpy as np
 
+    jvm_hash = MINHASH_HASH_WHERE == "jvm"
     a = np.array(
         [tx.MINHASH_A0 + tx.MINHASH_A_STEP * i for i in range(MINHASH_K)],
         dtype=np.int64,
@@ -300,8 +325,11 @@ def _minhash_sigs_kernel(docs: DataFrame, with_set: bool = False) -> DataFrame:
         dtype=np.int64,
     )[:, None]
     p = tx.MINHASH_P
-    schema = "doc_id bigint, sig array<bigint>" + (
-        ", sh_set array<string>" if with_set else ""
+    schema = (
+        "doc_id bigint, sh_set array<string>"
+        if jvm_hash
+        else "doc_id bigint, sig array<bigint>"
+        + (", sh_set array<string>" if with_set else "")
     )
 
     def gen(batches):
@@ -326,22 +354,52 @@ def _minhash_sigs_kernel(docs: DataFrame, with_set: bool = False) -> DataFrame:
                     ]
                 else:
                     sh = [" ".join(toks)]
+                ids.append(doc_id)
+                if jvm_hash:
+                    # hashing + minima happen JVM-side over the
+                    # distinct set (min over distinct == min over all)
+                    sets.append(list(dict.fromkeys(sh)))
+                    continue
                 hs = np.array(
                     [int(md5(s.encode()).hexdigest()[:8], 16) for s in sh],
                     dtype=np.int64,
                 )
                 sigs.append(((a * hs[None, :] + b) % p).min(axis=1).tolist())
-                ids.append(doc_id)
                 if with_set:
                     sets.append(list(dict.fromkeys(sh)))
             if not ids:  # a batch of only-null texts: an empty pandas
                 continue  # frame defaults to float64 cols Arrow rejects
+            if jvm_hash:
+                yield pd.DataFrame({"doc_id": ids, "sh_set": sets})
+                continue
             d = {"doc_id": ids, "sig": sigs}
             if with_set:
                 d["sh_set"] = sets
             yield pd.DataFrame(d)
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+    out = docs.select("doc_id", "text").mapInPandas(gen, schema)
+    if not jvm_hash:
+        return out
+    # hs in its own projection so the md5 runs ONCE per shingle (a
+    # Generate/transform over a non-attribute child re-evaluates, same
+    # rationale as _shingle_rows' toked projection); the 12 affine
+    # minima then fold over the int64 array in whole-stage codegen
+    hs = out.select(
+        "doc_id", "sh_set", F.transform("sh_set", _h_expr).alias("__hs")
+    )
+    def _band_min(i: int) -> F.Column:
+        # closure, NOT a default-arg lambda: F.transform dispatches on
+        # lambda ARITY, and a second parameter would receive the array
+        # index instead of the band coefficient
+        a = F.lit(tx.MINHASH_A0 + tx.MINHASH_A_STEP * i)
+        b = F.lit(tx.MINHASH_B0 + tx.MINHASH_B_STEP * i)
+        return F.array_min(
+            F.transform("__hs", lambda h: (a * h + b) % F.lit(tx.MINHASH_P))
+        )
+
+    sig = F.array(*[_band_min(i) for i in range(MINHASH_K)])
+    cols = ["doc_id", sig.alias("sig")] + (["sh_set"] if with_set else [])
+    return hs.select(*cols)
 
 
 def _minhash_kernel_on(spark: SparkSession, sf_dir: str) -> bool:
@@ -391,6 +449,11 @@ SIMHASH_KERNEL_MAX_N = 1_000_000
 # at the noise floor, so the gate keeps the fold where the win is
 # unproven and the kernel where it is decisive.
 DECON_GRAM_KERNEL: bool | None = None
+# sibling of MINHASH_HASH_WHERE for the decon kernel: with "jvm" the
+# kernel emits distinct gram STRINGS and the md5 prefix runs JVM-side
+# (array_distinct(transform(.., md5)) — re-dedup in int space keeps
+# hash-collision semantics identical to the Python int-set).
+DECON_HASH_WHERE: str = "jvm"  # "jvm" | "python"
 
 
 def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
@@ -452,8 +515,9 @@ def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
 def _decon_gram_sets_kernel(docs: DataFrame) -> DataFrame:
     """(doc_id, source, hs) distinct word-3-gram hash sets via the
     per-doc kernel — identical contents to _decon_sides' explode +
-    window + collect_set path (see DECON_GRAM_KERNEL). Docs with < 3
-    tokens emit no row."""
+    window + collect_set path (see DECON_GRAM_KERNEL /
+    DECON_HASH_WHERE). Docs with < 3 tokens emit no row."""
+    jvm_hash = DECON_HASH_WHERE == "jvm"
 
     def gen(batches):
         import hashlib
@@ -474,15 +538,21 @@ def _decon_gram_sets_kernel(docs: DataFrame) -> DataFrame:
                 n = len(toks)
                 if n < 3:
                     continue
-                hs = {
-                    int(
-                        md5(
-                            (toks[i] + " " + toks[i + 1] + " " + toks[i + 2]).encode()
-                        ).hexdigest()[:8],
-                        16,
+                if jvm_hash:
+                    hs = dict.fromkeys(
+                        toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                        for i in range(n - 2)
                     )
-                    for i in range(n - 2)
-                }
+                else:
+                    hs = {
+                        int(
+                            md5(
+                                (toks[i] + " " + toks[i + 1] + " " + toks[i + 2]).encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        for i in range(n - 2)
+                    }
                 ids.append(doc_id)
                 srcs.append(source)
                 sets.append(list(hs))
@@ -490,8 +560,20 @@ def _decon_gram_sets_kernel(docs: DataFrame) -> DataFrame:
                 continue
             yield pd.DataFrame({"doc_id": ids, "source": srcs, "hs": sets})
 
-    return docs.select("doc_id", "source", "text").mapInPandas(
-        gen, "doc_id bigint, source string, hs array<bigint>"
+    if not jvm_hash:
+        return docs.select("doc_id", "source", "text").mapInPandas(
+            gen, "doc_id bigint, source string, hs array<bigint>"
+        )
+    gs = docs.select("doc_id", "source", "text").mapInPandas(
+        gen, "doc_id bigint, source string, hs array<string>"
+    )
+    # md5 JVM-side; array_distinct in INT space re-merges the (rare)
+    # distinct grams whose 32-bit prefixes collide, exactly like the
+    # Python int-set
+    return gs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.transform("hs", _h_expr)).alias("hs"),
     )
 
 
@@ -869,23 +951,25 @@ _NGRAM_KEEP = 0.6 - 1e-9
 # actually fail and the fallback actually execute).
 #
 # MEASURED OUT (round 12, NGRAM_HASH_AB.json — interleaved, identical
-# output cell-hash every run): charged per cold run, the audit costs
-# more than the strings it saves at EVERY scale, in every interleaved
-# pass. Full-corpus audit: 268.2 s vs 106.6 s strings at x1000;
-# candidate-scoped audit (the shipped hook): 218.7 s vs 175.9 s at
-# x1000, ~1.2-2.9x slower at x100 across sessions. Root cause, from
-# the run_bytes: the verify join's string payload is per-PAIR but the
-# near-dup clusters are SMALL (~2-3 docs), so pair amplification is
-# ~2x and the string verify ships ~2x the candidate-docs' text —
-# while any exactness audit must shuffle >= 1x of it AND the hash
-# verify still re-joins the candidate topology. The win window would
-# need either large clusters (pair amplification >> audit volume) or
-# a session that amortizes the audit across many queries (the memo
-# already enables this; bench's cold policy — correctly — does not).
-# The hook stays for re-measurement on such corpora: None = auto
-# (audited hash verify at >= MINHASH_KERNEL_MIN_N augmented docs),
-# True forces it, and output identity incl. the audit-failure
-# fallback is pinned by tests/test_ngram_hash_verify.py either way.
+# output cell-hash every run): charged per cold run, the audited hash
+# verify lost 5 of 7 interleaved x1000 passes across three sessions
+# (full-corpus audit 268.2 s vs 106.6 s strings; candidate-scoped —
+# the shipped hook — 218.7 vs 175.9, 303.8 vs 192.8, 469.3 vs 224.2,
+# winning only two late passes at 136.0/99.9 s) and every x100 pass;
+# worse, its run-to-run variance on a quiet box is 3.5x (469 -> 136)
+# against the string shape's 1.35x — an unstable plan is not the one
+# to ship regardless of its best case. Root cause of the thin margin:
+# the near-dup clusters are SMALL (~2-3 docs), so the string verify
+# ships only ~2x the candidate-docs' text, while any exactness audit
+# must shuffle >= 1x of it AND the hash verify re-joins the candidate
+# topology. The win window would need large clusters (pair
+# amplification >> audit volume) or a session that amortizes the
+# audit across many queries (the memo already enables this; bench's
+# cold policy — correctly — does not). The hook stays for
+# re-measurement on such corpora: None = auto (audited hash verify at
+# >= MINHASH_KERNEL_MIN_N augmented docs), True forces it, and output
+# identity incl. the audit-failure fallback is pinned by
+# tests/test_ngram_hash_verify.py either way.
 NGRAM_HASH_VERIFY: bool | None = False
 # test hook: pmod the 64-bit hash into a tiny space to force
 # collisions (None = full xxhash64 width in production)
