@@ -296,9 +296,21 @@ MINHASH_KERNEL_MIN_N = 100_000
 # MinHash minima over the distinct set equal minima over the full
 # multiset, so signatures are identical; identity pinned by
 # tests/test_minhash_kernel.py.
-# ADOPTED round 12 (JVMHASH_AB.json, interleaved, identical output
-# hashes every run): see the artifact for the per-scale numbers.
-MINHASH_HASH_WHERE: str = "jvm"  # "jvm" | "python"
+# MEASURED OUT (round 12, JVMHASH_AB.json — interleaved, identical
+# output hashes every run): Python's C-accelerated hashlib.md5 inside
+# the Arrow loop BEATS the JVM expression at every measured scale —
+# x_dedup_minhash_lsh 0.82x at x100 (9.47 s python vs 11.49 s jvm),
+# x_decontaminate 0.76x (6.27 vs 8.28) on the clean single-transform
+# comparison, and the minhash sig path additionally pays Catalyst's
+# CollapseProject inlining the hs projection into all 12 band-min
+# consumers (md5 re-evaluated per band: ngram x100 17.9 s vs 58-98 s).
+# Both variants are scan-local per-shingle costs with no shuffle, so
+# the x100 ordering carries to any scale; the round-11 "Python
+# throughput ceiling" concern is hereby BOUNDED by measurement —
+# hashlib.md5 is not the slow path, it outruns JVM md5 plus the Arrow
+# string transfer. The hook stays for re-measurement on JVMs with
+# faster digest intrinsics.
+MINHASH_HASH_WHERE: str = "python"  # "jvm" | "python"
 
 _JAVA_WS = r"[ \t\n\x0b\f\r]+"
 
@@ -453,7 +465,11 @@ DECON_GRAM_KERNEL: bool | None = None
 # kernel emits distinct gram STRINGS and the md5 prefix runs JVM-side
 # (array_distinct(transform(.., md5)) — re-dedup in int space keeps
 # hash-collision semantics identical to the Python int-set).
-DECON_HASH_WHERE: str = "jvm"  # "jvm" | "python"
+# MEASURED OUT like its sibling (JVMHASH_AB.json: python 0.76-0.85x
+# faster) — and this is the CLEAN comparison (one transform, no
+# CollapseProject re-evaluation): hashlib.md5 in the Arrow loop beats
+# JVM md5 + the extra Arrow string payload outright.
+DECON_HASH_WHERE: str = "python"  # "jvm" | "python"
 
 
 def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
