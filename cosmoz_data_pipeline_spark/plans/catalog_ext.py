@@ -35,6 +35,21 @@ EMBED_DIM = 64  # embeddings-table vector width (TESTDATA.md)
 # only every 2nd superstep (see q_dedup_components): the probe's
 # driver round-trip outweighs the risk of one extra cheap superstep.
 COMPONENTS_PROBE_LAZY_BELOW = 4096
+# Round 12 (VERDICT r11 next #2): on skip-probe rounds (frontier known
+# < COMPONENTS_PROBE_LAZY_BELOW) the superstep's checkpoint is LAZY
+# (eager=False), so the tail superstep fuses into the next probed
+# round's materialization — one job launch and one full-label-table
+# localCheckpoint write saved per skip round. COMPONENTS_STAGES.json
+# located the cost: at sf0.1 the 11-superstep tail is ~3 s of mostly
+# fixed per-job overhead (frontiers of 29/3/2/3 rows still paid a
+# full-table eager checkpoint each), while at x1000 the loop converges
+# in 2 probed supersteps and the flag never engages (92.5 s of the
+# 99.5 s wall is the simhash-pairs candidate PREFIX — the loop was
+# never the at-scale cost). Labels are bit-identical either way
+# (checkpoint laziness changes materialization timing, not values;
+# tests/test_components.py runs both shapes). Adopted on
+# COMPONENTS_TAIL_AB.json.
+COMPONENTS_LAZY_TAIL_CKPT: bool = True
 # tool hook (tools/components_stages.py): when a list, the components
 # loop appends one dict per superstep — wall seconds split into the
 # checkpoint-materialization and probe actions, plus the probed
@@ -1405,7 +1420,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
                 (F.coalesce("mn", "lbl") < F.col("lbl")).alias("chg"),
-            )
+            ),
+            # skip-probe rounds (small frontier) defer materialization
+            # into the next probed round's job — see
+            # COMPONENTS_LAZY_TAIL_CKPT
+            eager=not (skip_probe and COMPONENTS_LAZY_TAIL_CKPT),
         )
         t_ckpt = _time.time() - t0
         labels = new_labels.select("doc_id", "lbl")
