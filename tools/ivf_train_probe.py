@@ -42,6 +42,7 @@ from cosmoz_data_pipeline_spark.plans.registry import (  # noqa: E402
 )
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from cosmoz_data_pipeline_spark.sources.tables import load_table  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
 from tools.scale_bench import _cold, _metrics_since, _stage_hwm  # noqa: E402
 
 DEFAULT_CORPORA = (
@@ -185,9 +186,17 @@ def main() -> None:
         "shipped_train_total in the same session is the comparator",
         "corpora": {},
     }
+    out["sentinel_ref_sec"] = SENTINEL_REF_SEC
     for d, mult in corpora:
-        print(f"x{mult}:", flush=True)
-        out["corpora"][f"x{mult}"] = probe_once(spark, d)
+        snt = sentinel_sec(spark, repeats=2)
+        print(f"x{mult}: sentinel {snt:.2f}s", flush=True)
+        rec = probe_once(spark, d)
+        rec["sentinel_sec"] = snt
+        if "shipped_train_total" in rec:
+            rec["shipped_train_total_normalized"] = round(
+                rec["shipped_train_total"]["t"] * SENTINEL_REF_SEC / snt, 2
+            )
+        out["corpora"][f"x{mult}"] = rec
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "IVF_TRAIN_STAGES.json")
     with open(path, "w") as f:
