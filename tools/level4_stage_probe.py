@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cosmoz_data_pipeline_spark.domain import levels  # noqa: E402
 from cosmoz_data_pipeline_spark.domain.synth import load_domain  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
 from tools.scale_bench import _cold, _metrics_since, _stage_hwm  # noqa: E402
 
 DEFAULT_CORPORA = (
@@ -90,7 +91,10 @@ def main() -> None:
         "stage marginal cost = prefix[k] - prefix[k-1] (one session, "
         "interleaved by corpus inside each stage so drift lands evenly)",
         "stages": {},
+        "sentinel_ref_sec": SENTINEL_REF_SEC,
+        "sentinel_sec": None,  # filled below, captured once per session
     }
+    out["sentinel_sec"] = sentinel_sec(spark, repeats=2)
     prev_t = {f"x{m}": 0.0 for _, m in corpora}
     for stage in STAGES:
         rec = {"t_sec": {}, "run_bytes": {}, "marginal_t_sec": {}}
