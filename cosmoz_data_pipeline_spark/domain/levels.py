@@ -119,8 +119,218 @@ LEVEL1_DUPW_HASH: bool | None = None
 LEVEL1_SEQ_BUCKETED: bool | None = None
 LEVEL4_FRAME_BUCKETED: bool | None = False
 
+# Round-12/13 lever (LEVEL4_STAGES.json round12_clean_reprobe): the
+# level pipeline's x1000 cost after the level1 prefix lives in
+# level2's temporal attachments — the 100M-row wide fact re-shuffles
+# for the hour-grain intensity join, the day-grain SILO join and the
+# as-of union SEPARATELY (+123 s and +20.4 GiB shuffle over level1).
+# At x1000 the hour table is ~23M rows (one per site-hour, growing
+# linearly with history — NOT broadcastable), so both grain joins are
+# sort-merge joins that each pay a full fact exchange + sort.
+#
+# The FUSED shape resolves all four attachments in ONE shuffle: union
+# the fact probe rows with (a) the intensity value rows (as the as-of
+# union already did), (b) the per-(site, hour) pick rows anchored at
+# their HOUR START, and (c) the per-(site, day) SILO pick rows
+# anchored at their DAY START; hash-shuffle once on
+# (site_no[, week-bucket]); then running last(..., ignorenulls)
+# windows resolve in-partition:
+#   - hour match:  last hour-pick struct, gated hr == my hour
+#   - SILO day:    last day-pick struct, gated day == my date
+#   - as-of bw/fw: the asof_join_both machinery, inlined
+# Anchoring a pick at its period start makes every fact row of the
+# period scan AFTER its pick row (picks order before probes at equal
+# time), so the running last IS the equi-join, row for row. The
+# session pins UTC (session.py) and the 7-day bucket width is a
+# multiple of 86400 s, so hour/day periods never straddle a bucket —
+# the pick structs need no cross-bucket carry (guarded in code); only
+# the as-of values carry across buckets, exactly as in asof_join_both.
+# The extra union rows are narrow (the fact's payload columns ride as
+# nulls) and scan-local; the win is retiring TWO full wide-fact
+# exchanges + their sorts. None = auto (same frame-input-bytes gate
+# as the other scale shapes); identity pinned by
+# tests/test_level2_fused.py across fused×window-shape variants.
+LEVEL2_FUSED_TEMPORAL: bool | None = None
+
 # the shared corpus gate lives with the operator
 _bucketed_auto = bucketed_auto
+
+_ORD2, _SRC2, _BKT2 = "__l2_ord", "__l2_src", "__l2_bkt"
+
+
+def _fused_temporal_attach(
+    fact: DataFrame,
+    int_slim: DataFrame,
+    hourly: DataFrame,
+    silo_pick: DataFrame,
+) -> DataFrame:
+    """level2's hour-grain, day-grain and both as-of attachments in a
+    single (site_no[, week-bucket]) shuffle — see LEVEL2_FUSED_TEMPORAL.
+
+    Output = ``fact`` columns + intensity_hour, n_hour_rows,
+    silo_temperature, silo_humidity, intensity_bw, intensity_fw —
+    bit-identical to the three-join shape (reference semantics:
+    cosmoz_process_levels.py:201-216 SILO day, :251-257 hour match,
+    :263-274 as-of fallbacks).
+    """
+    from ..operators import asof
+    from ..operators.bucketed_window import BUCKET_SECS
+
+    fact_cols = fact.columns
+    hs_t = "struct<hr:timestamp,ih:double>"
+    ds_t = "struct<day:date,st:double,sh:double>"
+
+    def _pad():
+        # value/pick rows carry only the key; the fact payload rides
+        # as typed nulls (narrow after shuffle-side null bitmaps)
+        return [
+            (
+                F.col(c)
+                if c == "site_no"
+                else F.lit(None).cast(fact.schema[c].dataType)
+            ).alias(c)
+            for c in fact_cols
+        ]
+
+    lhs = fact.select(
+        *fact_cols,
+        F.col("time").alias(_ORD2),
+        F.lit(1).alias(_SRC2),
+        F.lit(None).cast("double").alias("__iv"),
+        F.lit(None).cast(hs_t).alias("__hs"),
+        F.lit(None).cast(ds_t).alias("__ds"),
+    )
+    rhs_iv = int_slim.select(
+        *_pad(),
+        F.col("time").alias(_ORD2),
+        F.lit(0).alias(_SRC2),
+        F.col("intensity").cast("double").alias("__iv"),
+        F.lit(None).cast(hs_t).alias("__hs"),
+        F.lit(None).cast(ds_t).alias("__ds"),
+    )
+    # picks sort BEFORE value/probe rows at equal time (src asc), so a
+    # fact row exactly at the hour/day start still sees its pick
+    rhs_h = hourly.select(
+        *_pad(),
+        F.col("hr").alias(_ORD2),
+        F.lit(-1).alias(_SRC2),
+        F.lit(None).cast("double").alias("__iv"),
+        F.struct(
+            F.col("hr").alias("hr"),
+            F.col("intensity_hour").cast("double").alias("ih"),
+        ).alias("__hs"),
+        F.lit(None).cast(ds_t).alias("__ds"),
+    )
+    rhs_d = silo_pick.select(
+        *_pad(),
+        F.col("day").cast("timestamp").alias(_ORD2),
+        F.lit(-2).alias(_SRC2),
+        F.lit(None).cast("double").alias("__iv"),
+        F.lit(None).cast(hs_t).alias("__hs"),
+        F.struct(
+            F.col("day").alias("day"),
+            F.col("silo_temperature").cast("double").alias("st"),
+            F.col("silo_humidity").cast("double").alias("sh"),
+        ).alias("__ds"),
+    )
+    u = lhs.unionByName(rhs_iv).unionByName(rhs_h).unionByName(rhs_d)
+
+    bucketed = (
+        _bucketed_auto(u) if asof.ASOF_BUCKETED is None else asof.ASOF_BUCKETED
+    )
+    if bucketed:
+        if BUCKET_SECS % 86400:
+            raise ValueError(
+                f"fused level2 requires day-aligned buckets, got {BUCKET_SECS}s"
+            )
+        u = u.withColumn(
+            _BKT2, F.floor(F.col(_ORD2).cast("long") / F.lit(BUCKET_SECS)).cast("long")
+        )
+        wb_in = (
+            Window.partitionBy("site_no", _BKT2)
+            .orderBy(F.col(_ORD2).asc(), F.col(_SRC2).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf_in = (
+            Window.partitionBy("site_no", _BKT2)
+            .orderBy(F.col(_ORD2).desc(), F.col(_SRC2).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # as-of carry across buckets (asof_join_both's tail/carry,
+        # single value column); picks never need one — period-aligned
+        nn = F.when(F.col("__iv").isNotNull(), F.col(_ORD2))
+        tails = u.groupBy("site_no", _BKT2).agg(
+            F.max_by("__iv", nn).alias("__tl_bw"),
+            F.min_by("__iv", nn).alias("__tl_fw"),
+        )
+        w_bw = (
+            Window.partitionBy("site_no")
+            .orderBy(F.col(_BKT2).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_fw = (
+            Window.partitionBy("site_no")
+            .orderBy(F.col(_BKT2).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = tails.select(
+            "site_no",
+            _BKT2,
+            F.last("__tl_bw", ignorenulls=True).over(w_bw).alias("__cr_bw"),
+            F.last("__tl_fw", ignorenulls=True).over(w_fw).alias("__cr_fw"),
+        )
+        resolved = (
+            u.select(
+                *fact_cols,
+                _SRC2,
+                _BKT2,
+                F.last("__iv", ignorenulls=True).over(wb_in).alias("__in_bw"),
+                F.last("__iv", ignorenulls=True).over(wf_in).alias("__in_fw"),
+                F.last("__hs", ignorenulls=True).over(wb_in).alias("__h"),
+                F.last("__ds", ignorenulls=True).over(wb_in).alias("__d"),
+            )
+            .join(F.broadcast(carries), ["site_no", _BKT2], "left")
+            .select(
+                *fact_cols,
+                _SRC2,
+                F.coalesce("__in_bw", "__cr_bw").alias("__bw"),
+                F.coalesce("__in_fw", "__cr_fw").alias("__fw"),
+                "__h",
+                "__d",
+            )
+        )
+    else:
+        wb = (
+            Window.partitionBy("site_no")
+            .orderBy(F.col(_ORD2).asc(), F.col(_SRC2).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy("site_no")
+            .orderBy(F.col(_ORD2).desc(), F.col(_SRC2).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        resolved = u.select(
+            *fact_cols,
+            _SRC2,
+            F.last("__iv", ignorenulls=True).over(wb).alias("__bw"),
+            F.last("__iv", ignorenulls=True).over(wf).alias("__fw"),
+            F.last("__hs", ignorenulls=True).over(wb).alias("__h"),
+            F.last("__ds", ignorenulls=True).over(wb).alias("__d"),
+        )
+
+    out = resolved.where(F.col(_SRC2) == 1)
+    hr_gate = F.col("__h")["hr"] == F.date_trunc("hour", F.col("time"))
+    day_gate = F.col("__d")["day"] == F.to_date("time")
+    return out.select(
+        *fact_cols,
+        F.when(hr_gate, F.col("__h")["ih"]).alias("intensity_hour"),
+        F.when(hr_gate, F.lit(1).cast("long")).alias("n_hour_rows"),
+        F.when(day_gate, F.col("__d")["st"]).alias("silo_temperature"),
+        F.when(day_gate, F.col("__d")["sh"]).alias("silo_humidity"),
+        F.col("__bw").alias("intensity_bw"),
+        F.col("__fw").alias("intensity_fw"),
+    )
 
 
 def raw_to_level1(raw: DataFrame) -> DataFrame:
@@ -239,18 +449,29 @@ def level1_to_level2(
         )
     )
 
-    enriched = (
-        level1.withColumn("hr", F.date_trunc("hour", "time"))
-        .withColumn("day", F.to_date("time"))
-        .join(hourly, ["site_no", "hr"], "left")
-        .join(silo_pick, ["site_no", "day"], "left")
+    fused = (
+        _bucketed_auto(level1)
+        if LEVEL2_FUSED_TEMPORAL is None
+        else LEVEL2_FUSED_TEMPORAL
     )
-    # both as-of directions in ONE union+shuffle+sort; the forward
-    # side's tie-blindness is safe behind the backward coalesce
-    enriched = asof_join_both(
-        enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
-        values=["intensity"], backward_suffix="_bw", forward_suffix="_fw",
-    )
+    if fused:
+        # scale shape (LEVEL2_FUSED_TEMPORAL): all four temporal
+        # attachments in ONE (site, week-bucket) shuffle instead of
+        # two wide-fact grain-join exchanges + the as-of union
+        enriched = _fused_temporal_attach(level1, int_slim, hourly, silo_pick)
+    else:
+        enriched = (
+            level1.withColumn("hr", F.date_trunc("hour", "time"))
+            .withColumn("day", F.to_date("time"))
+            .join(hourly, ["site_no", "hr"], "left")
+            .join(silo_pick, ["site_no", "day"], "left")
+        )
+        # both as-of directions in ONE union+shuffle+sort; the forward
+        # side's tie-blindness is safe behind the backward coalesce
+        enriched = asof_join_both(
+            enriched, int_slim, on=["site_no"], left_time="time", right_time="time",
+            values=["intensity"], backward_suffix="_bw", forward_suffix="_fw",
+        )
     enriched = enriched.join(stations, "site_no")
 
     # SILO values participate only when the lookup would have fired
