@@ -150,6 +150,18 @@ LEVEL4_FRAME_BUCKETED: bool | None = False
 # exchanges + their sorts. None = auto (same frame-input-bytes gate
 # as the other scale shapes); identity pinned by
 # tests/test_level2_fused.py across fused×window-shape variants.
+#
+# ADOPTED round 12 on the interleaved x1000 A/B (LEVEL2_FUSED_AB
+# .json, 3 repeats, shipped auto defaults on every other flag):
+# level2 prefix best 159.1 s -> 121.0 s (1.31x) with fused's WORST
+# run (139.0 s) beating joined's best, -16% shuffle bytes (33.3 ->
+# 27.9 GiB), zero spill both, and far lower exposure to the ~2.4x
+# large-shuffle I/O bimodality (joined swung 159-347 s across its
+# three runs; fused 121-139 s). The x100 cells in the artifact
+# measure a FORCED variant below the gate (x100 events = 184 MiB
+# < 512 MiB) that never ships; see the artifact's adjudication_note,
+# including why the one fast joined level4 x1000 reading is a
+# drift-window artifact (inconsistent with its own prefix).
 LEVEL2_FUSED_TEMPORAL: bool | None = None
 
 # the shared corpus gate lives with the operator

@@ -79,3 +79,50 @@ def sentinel_sec(spark: SparkSession, repeats: int = 3) -> float:
     """Min-of-``repeats`` sentinel seconds — the session's host-speed
     token, recorded verbatim in every BENCH/SCALE artifact."""
     return round(min(sentinel_once(spark) for _ in range(repeats)), 3)
+
+
+# --- sweep-only I/O sentinel (round 12→13) ---------------------------
+# SCALE_r12.json io_drift_note: raw x1000 times on multi-GB-shuffle
+# queries swing ~2.4x between same-session runs with IDENTICAL
+# run_bytes — large-sequential shuffle I/O bimodality the main
+# sentinel's 480 MB shuffle leg only partially tracks. This ADDITIVE
+# leg (the frozen main sentinel is untouched) writes+reads a ~2.4 GB
+# row-level shuffle, sized into the regime where the bimodality
+# actually shows. It is a DETECTOR, not a normalizer: a cell whose raw
+# seconds sit far off its normalized trend while io_sentinel_sec reads
+# slow is a drift window — adjudicate that cell on its run_bytes
+# columns (shuffle/spill bytes are plan invariants, drift-free).
+# LIKE THE MAIN SENTINEL, THIS DEFINITION IS FROZEN AT ADOPTION.
+IO_SENTINEL_ROWS = 300_000_000
+IO_SENTINEL_PARTS = 64
+_IO_XOR: int | None = 7361768411697989579  # pinned (tools/pin_io_sentinel.py)
+IO_SENTINEL_REF_SEC: float | None = 9.354  # pinned at adoption
+
+
+def io_sentinel_once(spark: SparkSession) -> float:
+    """One timed I/O-sentinel pass; asserts the checksum."""
+    t0 = time.time()
+    b = (
+        spark.range(IO_SENTINEL_ROWS)
+        .select(F.xxhash64("id").alias("h"))
+        .repartition(IO_SENTINEL_PARTS, "h")
+        .agg(F.expr("bit_xor(h)"))
+        .collect()[0][0]
+    )
+    dt = time.time() - t0
+    if _IO_XOR is None:
+        raise AssertionError(
+            "io-sentinel checksum not pinned — run tools/pin_io_sentinel.py"
+        )
+    if b != _IO_XOR:
+        raise AssertionError(
+            f"io-sentinel checksum mismatch: {b} — definition drifted; "
+            "its timings are void"
+        )
+    return dt
+
+
+def io_sentinel_sec(spark: SparkSession, repeats: int = 2) -> float:
+    """Min-of-``repeats`` I/O-sentinel seconds — the session's
+    large-shuffle-I/O token for SCALE-class artifacts."""
+    return round(min(io_sentinel_once(spark) for _ in range(repeats)), 3)

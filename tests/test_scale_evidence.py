@@ -117,3 +117,25 @@ def test_drift_sentinel_checksums_and_timing(spark):
             sentinel.sentinel_once(spark)
     finally:
         sentinel._CPU_XOR = orig
+
+
+def test_io_sentinel_pinned_and_tamper_proof(spark):
+    # round 13 (SCALE_r12 io_drift_note): the sweep-only I/O sentinel
+    # must be pinned (unpinned definitions may never time anything),
+    # reproduce its checksum, and raise loudly on tampering
+    from cosmoz_data_pipeline_spark import sentinel
+
+    assert sentinel._IO_XOR is not None, (
+        "io-sentinel checksum unpinned — run tools/pin_io_sentinel.py"
+    )
+    dt = sentinel.io_sentinel_once(spark)
+    assert dt > 0
+    orig = sentinel._IO_XOR
+    sentinel._IO_XOR = 0
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="io-sentinel checksum"):
+            sentinel.io_sentinel_once(spark)
+    finally:
+        sentinel._IO_XOR = orig

@@ -82,7 +82,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cosmoz_data_pipeline_spark.plans import REGISTRY, release_persists  # noqa: E402
 from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
-from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import (  # noqa: E402
+    SENTINEL_REF_SEC,
+    io_sentinel_sec,
+    sentinel_sec,
+)
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
 from tools.scale_corpus import ALL_TABLES, BASE_EVENTS, ensure_corpus  # noqa: E402
 
@@ -375,8 +379,22 @@ def main() -> None:
         print(f"{name:28s} sentinel {snt:.2f}s "
               f"(ref {SENTINEL_REF_SEC})", file=sys.stderr)
         times, rows, mets, counts = [], [], [], []
+        io_tokens: dict[str, dict[str, float]] = {}
         for d, mult in q_corpora:
+            # I/O drift detector (round 13, SCALE_r12 io_drift_note):
+            # multi-GB-shuffle decades swing ~2.4x on host I/O
+            # bimodality the CPU sentinel can't see. Bracket each
+            # >=x1000 decade with one io-sentinel pass on each side so
+            # a reader can tell a slow-I/O window from a plan change —
+            # raw seconds on a bracketed-slow cell are adjudicated on
+            # run_bytes instead.
+            io_pre = io_sentinel_sec(spark, repeats=1) if mult >= 1000 else None
             t, r, m = timer(spark, d)
+            if io_pre is not None:
+                io_tokens[f"x{mult}"] = {
+                    "pre": io_pre,
+                    "post": io_sentinel_sec(spark, repeats=1),
+                }
             times.append(t)
             rows.append(r)
             mets.append(m)
@@ -416,6 +434,8 @@ def main() -> None:
                 f"x{mult}": m for (_, mult), m in zip(q_corpora, mets)
             },
         }
+        if io_tokens:
+            entry["io_sentinel_sec"] = io_tokens
         if probe is not None:
             entry["stage_counts"] = {
                 f"x{mult}": c for (_, mult), c in zip(q_corpora, counts)
@@ -449,6 +469,14 @@ def _write_artifact(out: dict[str, dict]) -> None:
         "each query's decades; t_sec_normalized = t_sec * (ref/sentinel). "
         "Compare normalized columns across rounds/sessions; raw t_sec "
         "only within one capture.",
+        "io_sentinel_policy": "each >=x1000 decade is bracketed by one "
+        "pass of the frozen ~2.4 GB-shuffle io-sentinel (sentinel.py, "
+        "separate from the main sentinel) recorded as io_sentinel_sec."
+        "{pre,post}. It DETECTS the ~2.4x large-shuffle I/O bimodality "
+        "(SCALE_r12 io_drift_note); it does not normalize. A cell whose "
+        "raw seconds sit far off its normalized trend while either "
+        "bracket reads slow is a drift window - grade that cell on its "
+        "run_bytes columns (plan invariants, drift-free).",
         "corpus": "tools/scale_corpus.py (same generator at every scale; "
         "marker-gated reuse; missing tables generated in place)",
         "policy": "min-of-2 cold (persists released, caches + index/corpus-"
