@@ -453,10 +453,19 @@ def _write_artifact(out: dict[str, dict]) -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT_NAME
     )
+    extra_top = {}
     if os.path.exists(out_path):  # merge partial/resumed runs
         try:
             with open(out_path) as f:
-                prev = json.load(f).get("queries", {})
+                have = json.load(f)
+            prev = have.get("queries", {})
+            # carry forward narrative fields a subset-merge must not
+            # silently drop (e.g. io_drift_note)
+            extra_top = {
+                k: v
+                for k, v in have.items()
+                if k.endswith("_note") or k.startswith("drift")
+            }
         except (OSError, json.JSONDecodeError):
             prev = {}
         prev.update(out)
@@ -488,6 +497,7 @@ def _write_artifact(out: dict[str, dict]) -> None:
         "candidates == its rows; ngram_jaccard candidates == minhash rows "
         "(same signatures+banding); components edges == 2x simhash rows",
         "queries": out,
+        **extra_top,
     }
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
