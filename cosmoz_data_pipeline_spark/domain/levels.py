@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_both
-from ..operators.bucketed_window import bucketed_auto, bucketed_lag, overlap_buckets
+from ..operators.bucketed_window import (
+    BUCKET_SECS,
+    bucketed_auto,
+    bucketed_lag,
+    overlap_buckets,
+)
 from . import physics
 
 # payload columns compared by the duplicate detector. The reference
@@ -118,6 +123,153 @@ LEVEL1_DUPW_HASH: bool | None = None
 #   where the per-site frame sort would spill.
 LEVEL1_SEQ_BUCKETED: bool | None = None
 LEVEL4_FRAME_BUCKETED: bool | None = False
+
+# Round-12 second-session lever: level1 is the level pipeline's
+# largest single x1000 stage (82.6 s prefix, LEVEL4_STAGES.json) and
+# pays TWO full wide-fact shuffles — the (site, week) sequence-lag
+# exchange and the (payload-hash, site) duplicate-window exchange.
+# The FUSED SCAN collapses them to one wide shuffle + a small one:
+#
+#   pass 1 (one (site, week-bucket) exchange): prev_count via the
+#   bucketed_lag logic inlined, PLUS a ±29-min same-hash CANDIDATE
+#   screen — occurrences of xxhash64(site, payload) in a ±1740 s
+#   range frame (bucket-edge rows additionally probe the adjacent
+#   buckets' 29-min tail/head hash SETS, one tiny aggregate row per
+#   (site, week), broadcast back like the lag boundary).
+#   pass 2 (exact confirm): the ORIGINAL hash-prefixed duplicate
+#   window runs verbatim on the candidate subset only.
+#
+# Exactness: the screen is a SUPERSET of every row that shares
+# (site, payload) with another row ≤29 min away (hash equality is
+# implied by payload equality; edge sets and non-empty-bucket
+# chaining only over-include). Restricting the original dup logic to
+# any superset S that is closed over ≤29-min same-payload neighbors
+# yields identical drops: a row's immediate same-payload predecessor
+# is in S whenever it is ≤29 min away (both flagged by the screen),
+# so the in-subset lag sees the same neighbor; when it is >29 min
+# away, any farther in-subset predecessor is older still and the row
+# stays kept either way. Rows outside S are kept, as the full window
+# would keep them. Hash collisions only enlarge S; the confirm pass
+# compares full payloads (null-safe struct equality), so drops are
+# exact, never probabilistic.
+#
+# At the domain's data shape ~2/7 of rows are candidates (the
+# injected duplicates and their sources), so the second wide exchange
+# shrinks ~3.5x; on corpora with realistic (rare) duplication it
+# approaches zero. Identity pinned by tests/test_level1_dup_subset.py.
+#
+# MEASURED OUT round 12 (LEVEL1_DUPSUBSET_AB.json, interleaved x1000,
+# 3 repeats): steady-state level1 prefix reads 40.6/45.8 s (twowin)
+# vs 97.6/194.9 s (subset) — the byte saving is real but the
+# cand/rest filter-union split makes Spark evaluate the expensive
+# pass-1 window subtree TWICE (one per branch; AQE reuses the
+# exchange but not the window evaluation above it), and the ±29-min
+# collect_list screen frames are interpreted per row. Avoiding the
+# double-eval requires either materializing the full wide fact
+# (persist at 100 TB scale) or folding exact payload comparison into
+# the frame buffer (per-row wide-struct collection, plus a
+# nondeterministic tiebreak to reproduce the oracle-pinned
+# equal-time lag semantics) — both trade a ~5 GiB shuffle saving for
+# costs the A/B says exceed it. The hook stays for a deployment with
+# near-zero duplicate rates AND a cheap materialization layer; the
+# shipped shape remains LEVEL1_SEQ_BUCKETED + LEVEL1_DUPW_HASH.
+LEVEL1_DUP_SUBSET: bool | None = False
+
+_DUP_WINDOW_SECS = 29 * 60
+
+
+def _level1_fused_scan(raw: DataFrame) -> DataFrame:
+    """raw + prev_count + is_duplicate through one (site, week-bucket)
+    exchange and a candidate-subset confirm — see LEVEL1_DUP_SUBSET.
+    Reference semantics unchanged (cosmoz_process_levels.py:340-429)."""
+    R = _DUP_WINDOW_SECS
+    secs = F.col("time").cast("long")
+    with_b = raw.withColumn(
+        "__bkt", F.floor(secs / F.lit(BUCKET_SECS)).cast("long")
+    ).withColumn("__hh", F.xxhash64("site_no", *RAW_PAYLOAD))
+
+    w_in = Window.partitionBy("site_no", "__bkt").orderBy("time")
+    w_rng = (
+        Window.partitionBy("site_no", "__bkt")
+        .orderBy(secs)
+        .rangeBetween(-R, R)
+    )
+    # occurrences of my hash within ±29 min (incl. self and all
+    # equal-time peers — range frames include every order-value tie,
+    # which keeps the screen a superset at ties)
+    near = F.size(
+        F.filter(
+            F.collect_list("__hh").over(w_rng), lambda x: x == F.col("__hh")
+        )
+    )
+
+    bstart = F.col("__bkt") * F.lit(BUCKET_SECS)
+    bend = (F.col("__bkt") + 1) * F.lit(BUCKET_SECS)
+    # one row per (site, week): lag boundary value + edge hash sets
+    tails = with_b.groupBy("site_no", "__bkt").agg(
+        F.max_by("count", secs).alias("__tail_count"),
+        F.collect_set(F.when(secs >= bend - R, F.col("__hh"))).alias("__tail_set"),
+        F.collect_set(F.when(secs < bstart + R, F.col("__hh"))).alias("__head_set"),
+    )
+    w_chain = Window.partitionBy("site_no").orderBy("__bkt")
+    chained = tails.select(
+        "site_no",
+        "__bkt",
+        F.lag("__tail_count").over(w_chain).alias("__pc_b"),
+        F.lag("__tail_set").over(w_chain).alias("__prev_tail"),
+        F.lead("__head_set").over(w_chain).alias("__next_head"),
+    )
+
+    out = (
+        with_b.withColumn("__rn", F.row_number().over(w_in))
+        .withColumn("prev_count", F.lag("count").over(w_in))
+        .withColumn("__near", near)
+        .join(F.broadcast(chained), ["site_no", "__bkt"], "left")
+        .withColumn(
+            "prev_count",
+            F.when(F.col("__rn") == 1, F.col("__pc_b")).otherwise(
+                F.col("prev_count")
+            ),
+        )
+        .withColumn(
+            "__cand",
+            (F.col("__near") >= 2)
+            | (
+                (secs < bstart + R)
+                & F.coalesce(
+                    F.array_contains("__prev_tail", F.col("__hh")), F.lit(False)
+                )
+            )
+            | (
+                (secs >= bend - R)
+                & F.coalesce(
+                    F.array_contains("__next_head", F.col("__hh")), F.lit(False)
+                )
+            ),
+        )
+        .drop("__rn", "__near", "__pc_b", "__prev_tail", "__next_head", "__bkt")
+    )
+
+    # exact confirm: the original hash-prefixed duplicate window,
+    # verbatim, over the candidate subset only (prev_count already
+    # attached; non-candidates are provably never duplicates)
+    pay = F.struct(*[F.col(c) for c in RAW_PAYLOAD])
+    dupw = Window.partitionBy("__hh", "site_no").orderBy(pay, "time")
+    prev_pay = F.lag(pay).over(dupw)
+    cand = (
+        out.where(F.col("__cand"))
+        .withColumn(
+            "__pt", F.when(prev_pay.eqNullSafe(pay), F.lag("time").over(dupw))
+        )
+        .withColumn(
+            "is_duplicate",
+            F.col("__pt").isNotNull()
+            & (F.col("__pt") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
+        )
+        .drop("__pt")
+    )
+    rest = out.where(~F.col("__cand")).withColumn("is_duplicate", F.lit(False))
+    return cand.unionByName(rest).drop("__hh", "__cand")
 
 # Round-12/13 lever (LEVEL4_STAGES.json round12_clean_reprobe): the
 # level pipeline's x1000 cost after the level1 prefix lives in
@@ -361,6 +513,25 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
     (:357-360, :389 — duplicates still consume their diff), i.e. a
     plain lag over raw order including duplicate rows.
     """
+    dup_subset = (
+        _bucketed_auto(raw) if LEVEL1_DUP_SUBSET is None else LEVEL1_DUP_SUBSET
+    )
+    if dup_subset:
+        # scale shape (LEVEL1_DUP_SUBSET): prev_count + candidate
+        # screen in ONE wide exchange, exact dup confirm on the
+        # subset — subsumes the two flags below
+        flagged = _level1_fused_scan(raw)
+        kept = flagged.where(
+            F.col("prev_count").isNotNull() & ~F.col("is_duplicate")
+        )
+        return kept.select(
+            "time",
+            "site_no",
+            physics.level1_flag(
+                F.col("battery"), F.col("count"), F.col("prev_count"), F.col("flag")
+            ).alias("flag"),
+            *LEVEL1_FIELDS,
+        )
     bucketed = (
         _bucketed_auto(raw) if LEVEL1_SEQ_BUCKETED is None else LEVEL1_SEQ_BUCKETED
     )
