@@ -90,6 +90,7 @@ def main() -> None:
     # min-of-2, not comparable): cold-cache before EVERY run, min-of-3
     # absorbs host/JIT noise.
     timings: dict[str, float] = {}
+    st1_write = float("inf")
     for _pass in range(3):
         for name in REGISTRY:
             q = REGISTRY[name]
@@ -103,16 +104,23 @@ def main() -> None:
                 release_persists()
                 spark.catalog.clearCache()
             t0 = time.time()
+            df = q.run(spark, sf_dir)
+            t_build = time.time() - t0
             if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "noop":
                 # full materialization: nothing pruned, off the
                 # comparable record (see docstring caveat)
-                q.run(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                df.write.format("noop").mode("overwrite").save()
             else:
-                q.run(spark, sf_dir).count()
+                df.count()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            if name == "st1_incremental_overwrite":
+                # the query's writes (backfill + incremental
+                # dynamic-overwrite) run eagerly inside run(); the
+                # returned DataFrame is the sink READ-BACK, which only
+                # the oracle-compare contract pays (ST1_STAGES.json) —
+                # record the deployment-relevant write leg separately
+                st1_write = min(st1_write, round(t_build, 3))
     _cold(spark)
     sent_post = sentinel_sec(spark)
     sent = min(sent_pre, sent_post)
@@ -126,6 +134,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "st1_write_sec": st1_write,
+                "st1_note": "st1_incremental_overwrite's timed total includes "
+                "a full-sink read-back that exists only for the oracle-compare "
+                "contract (~30% of the query at sf0.1, ST1_STAGES.json); "
+                "deployments pay only the write leg, reported here as "
+                "st1_write_sec (build+backfill+incremental overwrite, min-of-3). "
+                "The headline 'queries' entry stays total for cross-round "
+                "comparability.",
                 "sentinel_sec": sent,
                 "sentinel_pre_sec": sent_pre,
                 "sentinel_post_sec": sent_post,

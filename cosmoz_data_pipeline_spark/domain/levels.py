@@ -341,7 +341,7 @@ def _fused_temporal_attach(
     from ..operators.bucketed_window import BUCKET_SECS
 
     fact_cols = fact.columns
-    hs_t = "struct<hr:timestamp,ih:double>"
+    hs_t = "struct<hr:timestamp,ih:double,nh:bigint>"
     ds_t = "struct<day:date,st:double,sh:double>"
 
     def _pad():
@@ -382,6 +382,7 @@ def _fused_temporal_attach(
         F.struct(
             F.col("hr").alias("hr"),
             F.col("intensity_hour").cast("double").alias("ih"),
+            F.col("n_hour_rows").cast("long").alias("nh"),
         ).alias("__hs"),
         F.lit(None).cast(ds_t).alias("__ds"),
     )
@@ -489,7 +490,7 @@ def _fused_temporal_attach(
     return out.select(
         *fact_cols,
         F.when(hr_gate, F.col("__h")["ih"]).alias("intensity_hour"),
-        F.when(hr_gate, F.lit(1).cast("long")).alias("n_hour_rows"),
+        F.when(hr_gate, F.col("__h")["nh"]).alias("n_hour_rows"),
         F.when(day_gate, F.col("__d")["st"]).alias("silo_temperature"),
         F.when(day_gate, F.col("__d")["sh"]).alias("silo_humidity"),
         F.col("__bw").alias("intensity_bw"),

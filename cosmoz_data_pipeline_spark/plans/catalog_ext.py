@@ -18,6 +18,8 @@ corrupted SimHash signatures and destroyed most exact-copy pairs
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,13 +89,20 @@ def _iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     ckdir = spark.conf.get("spark.cosmoz.checkpoint.dir", "")
     if ckdir:
         sc = spark.sparkContext
-        current = sc._jsc.sc().getCheckpointDir()
         # re-point when unset OR when the conf changed mid-session —
         # getCheckpointDir returns the dir with a per-app UUID suffix,
-        # so match on the configured prefix, not equality
-        if current.isEmpty() or not current.get().startswith(
-            ckdir.rstrip("/")
-        ):
+        # so match on the configured prefix, not equality. The probe
+        # reaches through the private _jsc gateway (no public PySpark
+        # getter); on a Spark upgrade that removes it, fall back to
+        # unconditionally (idempotently) setting the dir.
+        try:
+            current = sc._jsc.sc().getCheckpointDir()
+            needs_set = current.isEmpty() or not current.get().startswith(
+                ckdir.rstrip("/")
+            )
+        except Exception:
+            needs_set = True
+        if needs_set:
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager)
     return df.localCheckpoint(eager)
@@ -1403,8 +1412,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = labels
     skip_probe = False
     while True:
-        import time as _time
-
         t0 = _time.time()
         nbr = (
             ed.join(

@@ -116,7 +116,26 @@ def test_level1_dup_subset_bucket_edges_and_chains(spark, dup_flags):
     dup_flags(True)
     fused = _rows(levels.raw_to_level1(raw))
     assert fused == base
-    # sanity on the scenario itself: the 20-min straddler and the
-    # whole chain tail dropped, the 40-min pair kept
-    times = {r for r in base}
-    assert len(base) < raw.count()
+    # sanity on the scenario itself — assert the specific kept/dropped
+    # (site, epoch-sec) outcomes, not just "something dropped"
+    kept = [
+        (r["s"], r["t"])
+        for r in levels.raw_to_level1(raw)
+        .select(F.col("site_no").alias("s"), F.unix_timestamp("time").alias("t"))
+        .collect()
+    ]
+    kept_set = set(kept)
+    assert len(kept) == len(kept_set)  # equal-time dup pair collapsed to one
+    # 20-min straddler: first kept, duplicate dropped
+    assert (1, b - 600) in kept_set and (1, b + 600) not in kept_set
+    # 40-min same-payload pair: both kept (outside the 29-min window)
+    assert (2, b - 1200) in kept_set and (2, b + 1200) in kept_set
+    # forward-edge straddler (16 min): duplicate after the boundary dropped
+    assert (3, b - 60) in kept_set and (3, b + 900) not in kept_set
+    # chain reduced to its head
+    assert (4, b + 7200) in kept_set
+    assert (4, b + 8400) not in kept_set and (4, b + 9600) not in kept_set
+    # equal-time pair: exactly one survivor
+    assert (5, b + 20000) in kept_set
+    # same count but different battery: NOT duplicates, both kept
+    assert (6, b + 30000) in kept_set and (6, b + 31200) in kept_set

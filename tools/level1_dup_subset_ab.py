@@ -12,8 +12,11 @@ Row identity is pinned by tests/test_level1_dup_subset.py; this tool
 carries a row-count guard. Sentinel per the round-12 protocol.
 
 Usage: python tools/level1_dup_subset_ab.py [dir:mult ...] [--repeats N]
-  default corpus: x1000 (the only scale the auto gate ships it... the
-  gate engages >=512 MiB ~ x250; x100 is below it and never ships).
+  default corpus: x1000 — the scale the auto gate WOULD ship it at
+  under LEVEL1_DUP_SUBSET=None (the None gate engages >=512 MiB ~
+  x250; x100 is below it). The SHIPPED default is False (measured
+  out; never auto-engaged at any scale) — see the module comment at
+  domain/levels.py next to LEVEL1_DUP_SUBSET.
 Writes LEVEL1_DUPSUBSET_AB.json at the repo root.
 """
 
