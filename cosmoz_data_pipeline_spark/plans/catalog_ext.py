@@ -447,26 +447,31 @@ def _minhash_kernel_on(spark: SparkSession, sf_dir: str) -> bool:
 # SimHash sibling of MINHASH_SIG_KERNEL: tx.simhash64_bands shuffles
 # every exploded token row (344 M at x1000) into a doc-keyed 64-sum
 # aggregate; the kernel computes the identical per-doc bit votes and
-# band packing in one scan-local pass (md5 per token in Python, the
-# 64 ±1 votes and 16-bit packs as numpy integer ops — engine-exact).
-# Duplicate tokens vote repeatedly and empty-string tokens vote too,
-# exactly like the explode path; null text emits no row. Identity
-# pinned by tests/test_tokenstats_kernels.py.
+# band packing in one scan-local pass — engine-exact. Duplicate
+# tokens vote repeatedly and empty-string tokens vote too, exactly
+# like the explode path; null text emits no row. Identity pinned by
+# tests/test_tokenstats_kernels.py.
 #
-# ADJUDICATED round 11 (TOKENSTATS_KERNEL_AB.json, interleaved,
-# 2 repeats, identical output hashes) — the ONE sibling whose explode
-# path does NOT lose at scale: SimHash needs no lead window, so its
-# doc-keyed shuffle carries map-side partially-aggregated 64-sum rows
-# (~docs, not tokens) and stays cheap where MinHash's 344 M-row
-# window shuffle drowned. Measured: kernel 1.86x at sf0.1 (4.25 s ->
-# 2.29 s; the 64-agg codegen compile dominates tiny corpora), 1.07x
-# at x100 (noise-level), 0.94x at x1000 — the kernel's per-token
-# Python md5 LOSES to the already-cheap shuffle at scale. So the
-# auto gate is INVERTED relative to the other kernels: kernel BELOW
-# SIMHASH_KERNEL_MAX_N augmented docs, explode path above (the
-# measured crossover lies between x100's 645 k and x1000's 6.45 M).
+# HISTORY. Round 11 (TOKENSTATS_KERNEL_AB.json): the PER-DOC-LOOP
+# kernel won small corpora (1.86x at sf0.1) but LOST x1000 (0.94x) —
+# its per-token Python md5 + per-doc numpy allocations couldn't beat
+# the explode path's map-side-combined shuffle — so the gate was
+# INVERTED (kernel only below SIMHASH_KERNEL_MAX_N = 1M docs).
+# Round 13: SIMHASH_PAIRS_STAGES.json showed the signature build is
+# ~73 of the query's ~85 s at x1000 (the explode path's real cost is
+# not the shuffle but evaluating 64 conditional sums per token row —
+# a 2-column micro-agg that let Catalyst prune 62 of them ran 18.7 s
+# where the full build ran 73 s), so the kernel was REWRITTEN
+# batch-vectorized: md5 once per DISTINCT token per Arrow batch, the
+# 64 vote sums as np.bincount segment sums across the batch.
+# RE-ADJUDICATED round 13 (SIMHASH_SIGKERNEL_AB.json, interleaved,
+# 3 repeats, identical output cell-hashes): kernel 1.96x at sf0.1
+# (4.35 -> 2.21 s), 1.04x at x100 (12.07 -> 11.56 s), 1.71x at x1000
+# (73.6 -> 43.1 s best; every interleaved pass kernel-faster, worst
+# 134 vs 303 s through a slow-I/O window). The gate is now ALWAYS
+# KERNEL on auto; the explode path stays reachable (=False) as the
+# measured-out variant.
 SIMHASH_SIG_KERNEL: bool | None = None
-SIMHASH_KERNEL_MAX_N = 1_000_000
 
 # Decontamination sibling: _decon_sides derives each document's
 # DISTINCT word-3-gram hash set through the same explode + lead-window
@@ -498,8 +503,21 @@ DECON_HASH_WHERE: str = "python"  # "jvm" | "python"
 
 def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
     """(doc_id, s0..s3) 64-bit SimHash as 4 × 16-bit bands via the
-    per-doc kernel — bit-identical to tx.simhash64_bands (see
-    SIMHASH_SIG_KERNEL)."""
+    BATCH-VECTORIZED kernel — bit-identical to tx.simhash64_bands
+    (see SIMHASH_SIG_KERNEL; identity pinned by
+    tests/test_tokenstats_kernels.py).
+
+    Round 13 rewrite of the r11 per-doc-loop kernel, motivated by
+    SIMHASH_PAIRS_STAGES.json (the signature build is ~73 of the
+    query's ~85 s at x1000): (a) md5 runs once per DISTINCT token per
+    Arrow batch (a dict memo — token instances outnumber the batch
+    vocabulary ~10:1 on Zipf-ish text), (b) the 64 per-bit ±1 vote
+    sums run as 64 ``np.bincount`` segment sums over the whole batch
+    instead of 64-element numpy ops per doc (the per-doc loop was
+    allocation-bound at ~50 tokens/doc). Tokenize semantics are
+    unchanged and engine-exact: strip(" ").lower(), Java-\\s+ split,
+    duplicate and empty-string tokens vote, null text emits no row,
+    vote sign strictly c > 0."""
     import numpy as np
 
     def gen(batches):
@@ -510,40 +528,62 @@ def _simhash_sigs_kernel(docs: DataFrame) -> DataFrame:
 
         split = re.compile(_JAVA_WS).split
         md5 = hashlib.md5
-        j32 = np.arange(32, dtype=np.int64)
         pack = (np.int64(1) << np.arange(16, dtype=np.int64))
+        u1 = np.uint64(1)
         for pdf in batches:
-            ids, bands = [], []
+            ids, tok_lists = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = split(text.strip(" ").lower())
-                hexes = [md5(t.encode()).hexdigest() for t in toks]
-                hi = np.array([int(x[:8], 16) for x in hexes], dtype=np.int64)
-                lo = np.array([int(x[8:16], 16) for x in hexes], dtype=np.int64)
-                # votes: bit j<32 from h_lo, j>=32 from h_hi (the
-                # explode path's bit_vote layout); ±1 per token
-                bits = np.concatenate(
-                    [
-                        ((lo[:, None] >> j32) & 1),
-                        ((hi[:, None] >> j32) & 1),
-                    ],
-                    axis=1,
-                )
-                c = (2 * bits - 1).sum(axis=0)
-                s = ((c.reshape(4, 16) > 0) * pack).sum(axis=1)
                 ids.append(doc_id)
-                bands.append(s.astype(np.int32))
+                tok_lists.append(split(text.strip(" ").lower()))
             if not ids:
                 continue
-            b = np.stack(bands)
+            n_docs = len(ids)
+            lens = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+            memo: dict[str, int] = {}
+            codes = np.empty(int(lens.sum()), np.int64)
+            pos = 0
+            for toks in tok_lists:
+                for t in toks:
+                    c = memo.get(t)
+                    if c is None:
+                        c = len(memo)
+                        memo[t] = c
+                    codes[pos] = c
+                    pos += 1
+            hi = np.empty(len(memo), np.uint64)
+            lo = np.empty(len(memo), np.uint64)
+            for t, c in memo.items():
+                x = md5(t.encode()).hexdigest()
+                hi[c] = int(x[:8], 16)
+                lo[c] = int(x[8:16], 16)
+            # per-instance 64-bit halves; votes: bit j<32 from h_lo,
+            # j>=32 from h_hi (the explode path's bit_vote layout)
+            ihi = hi[codes]
+            ilo = lo[codes]
+            dix = np.repeat(np.arange(n_docs), lens)
+            s1 = np.empty((n_docs, 64), np.int64)
+            for j in range(32):
+                uj = np.uint64(j)
+                s1[:, j] = np.bincount(
+                    dix[((ilo >> uj) & u1).astype(bool)], minlength=n_docs
+                )
+                s1[:, 32 + j] = np.bincount(
+                    dix[((ihi >> uj) & u1).astype(bool)], minlength=n_docs
+                )
+            # ±1 votes: c_j = 2 * (set-bit count) - n_tokens
+            c = 2 * s1 - lens[:, None]
+            s = ((c.reshape(n_docs, 4, 16) > 0) * pack).sum(axis=2).astype(
+                np.int32
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "s0": b[:, 0],
-                    "s1": b[:, 1],
-                    "s2": b[:, 2],
-                    "s3": b[:, 3],
+                    "s0": s[:, 0],
+                    "s1": s[:, 1],
+                    "s2": s[:, 2],
+                    "s3": s[:, 3],
                 }
             )
 
@@ -810,17 +850,13 @@ def _simhash_blocks(wide: bool) -> tuple[list, int]:
     return blocks, 5
 
 
-def _simhash_combo_cands(
-    sigs: DataFrame, n_docs: int, wide: bool | None = None
+def _simhash_band_rows(
+    sigs: DataFrame, n_docs: int, wide: bool | None = None, carry: tuple = ()
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) candidates from the Manku WWW'07
-    multi-block blocking over a (doc_id, s0..s3) SimHash table, one
-    equi-join on (band_idx, band_val). The block scheme is CORPUS-
-    SCALED via ``n_docs`` (see SIMHASH_WIDE_N); both schemes are
-    complete for Hamming <= 3 and the verify filter is exact, so the
-    final pair set is identical whichever is active (pinned by
-    tests/test_lsh_properties.py + tests/test_simhash_wide_blocks.py).
-    ``wide`` overrides the threshold for tests."""
+    """(doc_id, band_idx, band_val[, *carry]) rows from the Manku
+    multi-block scheme — one posexplode of the C(b, b-m) combo keys
+    per signature row. ``carry`` names extra sig columns to ride along
+    (see the fused verify in _simhash_combo_cands)."""
     from itertools import combinations
 
     if wide is None:
@@ -834,10 +870,25 @@ def _simhash_combo_cands(
             c = col.cast("bigint")
             k = c if k is None else k * F.lit(1 << width) + c
         keys.append(k)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
+        *carry,
         F.posexplode(F.array(*keys)).alias("band_idx", "band_val"),
     )
+
+
+def _simhash_combo_cands(
+    sigs: DataFrame, n_docs: int, wide: bool | None = None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates from the Manku WWW'07
+    multi-block blocking over a (doc_id, s0..s3) SimHash table, one
+    equi-join on (band_idx, band_val). The block scheme is CORPUS-
+    SCALED via ``n_docs`` (see SIMHASH_WIDE_N); both schemes are
+    complete for Hamming <= 3 and the verify filter is exact, so the
+    final pair set is identical whichever is active (pinned by
+    tests/test_lsh_properties.py + tests/test_simhash_wide_blocks.py).
+    ``wide`` overrides the threshold for tests."""
+    bands = _simhash_band_rows(sigs, n_docs, wide)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -910,13 +961,10 @@ WHERE bit_count(xor(sa.s0, sb.s0)) + bit_count(xor(sa.s1, sb.s1))
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_aug(spark, sf_dir)
-    use_kernel = (
-        SIMHASH_SIG_KERNEL
-        if SIMHASH_SIG_KERNEL is not None
-        # INVERTED gate — kernel only below the measured crossover,
-        # see SIMHASH_KERNEL_MAX_N
-        else _docs_aug_count(spark, sf_dir) < SIMHASH_KERNEL_MAX_N
-    )
+    # auto = always the batch-vectorized kernel since round 13
+    # (SIMHASH_SIGKERNEL_AB.json: kernel-faster at every scale) —
+    # see the SIMHASH_SIG_KERNEL history block
+    use_kernel = SIMHASH_SIG_KERNEL is not False
     sigs = scoped_persist(
         _simhash_sigs_kernel(docs) if use_kernel else tx.simhash64_bands(docs)
     )

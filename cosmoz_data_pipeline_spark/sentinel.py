@@ -96,7 +96,36 @@ def sentinel_sec(spark: SparkSession, repeats: int = 3) -> float:
 IO_SENTINEL_ROWS = 300_000_000
 IO_SENTINEL_PARTS = 64
 _IO_XOR: int | None = 7361768411697989579  # pinned (tools/pin_io_sentinel.py)
-IO_SENTINEL_REF_SEC: float | None = 9.354  # pinned at adoption
+# Round-13 calibration (VERDICT r12 missing #2): the adoption-time pin
+# (9.354 s) was captured inside a slow-I/O window on the drifting r12
+# host — useless as a healthy reference. Samples since:
+#   r12 SCALE sweep (drifting host): 5.77, 7.11 (level4 brackets),
+#     11.00, 12.62 (sort-floor brackets)
+#   r13 session (cpu sentinel at/under the 3.12 ref all day):
+#     4.30, 4.59, 4.83, 5.54 (SIMHASH_PAIRS_STAGES + A/B brackets)
+# The healthy (fast) mode clusters at 4.3-5.6 s; the bimodal slow mode
+# reads >= ~9 s (~2.4x). Reference = fastest stable healthy sample.
+IO_SENTINEL_REF_SEC: float | None = 4.30
+# A bracket above this is in the slow I/O mode. Midpoint between the
+# healthy cluster's ceiling (~5.8) and the slow mode's floor (~9):
+# ordinary healthy jitter (1.3x) stays under it, the 2.4x mode does not.
+IO_DRIFT_THRESHOLD_SEC = 7.0
+
+
+def io_window(*samples: float) -> str:
+    """Classify a timed cell's I/O-sentinel brackets: 'healthy' (all
+    brackets fast), 'drift' (ALL brackets slow — the cell ran inside
+    the slow-I/O window; grade it on run_bytes, not seconds), or
+    'suspect' (mixed — the window flipped mid-cell; treat raw seconds
+    as an envelope)."""
+    vals = [s for s in samples if s is not None]
+    if not vals:
+        return "unknown"
+    if min(vals) > IO_DRIFT_THRESHOLD_SEC:
+        return "drift"
+    if max(vals) > IO_DRIFT_THRESHOLD_SEC:
+        return "suspect"
+    return "healthy"
 
 
 def io_sentinel_once(spark: SparkSession) -> float:

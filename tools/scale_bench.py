@@ -85,6 +85,7 @@ from cosmoz_data_pipeline_spark.plans import catalog_ext  # noqa: E402
 from cosmoz_data_pipeline_spark.sentinel import (  # noqa: E402
     SENTINEL_REF_SEC,
     io_sentinel_sec,
+    io_window,
     sentinel_sec,
 )
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
@@ -391,9 +392,13 @@ def main() -> None:
             io_pre = io_sentinel_sec(spark, repeats=1) if mult >= 1000 else None
             t, r, m = timer(spark, d)
             if io_pre is not None:
+                io_post = io_sentinel_sec(spark, repeats=1)
                 io_tokens[f"x{mult}"] = {
                     "pre": io_pre,
-                    "post": io_sentinel_sec(spark, repeats=1),
+                    "post": io_post,
+                    # r13 calibrated classifier (sentinel.io_window):
+                    # 'drift' cells are graded on run_bytes, not seconds
+                    "window": io_window(io_pre, io_post),
                 }
             times.append(t)
             rows.append(r)
@@ -481,11 +486,13 @@ def _write_artifact(out: dict[str, dict]) -> None:
         "io_sentinel_policy": "each >=x1000 decade is bracketed by one "
         "pass of the frozen ~2.4 GB-shuffle io-sentinel (sentinel.py, "
         "separate from the main sentinel) recorded as io_sentinel_sec."
-        "{pre,post}. It DETECTS the ~2.4x large-shuffle I/O bimodality "
-        "(SCALE_r12 io_drift_note); it does not normalize. A cell whose "
-        "raw seconds sit far off its normalized trend while either "
-        "bracket reads slow is a drift window - grade that cell on its "
-        "run_bytes columns (plan invariants, drift-free).",
+        "{pre,post,window}. It DETECTS the ~2.4x large-shuffle I/O "
+        "bimodality (SCALE_r12 io_drift_note); it does not normalize. "
+        "window is the r13-calibrated classifier (sentinel.io_window, "
+        "healthy reference 4.30 s, drift threshold 7.0 s): 'drift' = "
+        "both brackets slow, grade the cell on run_bytes (plan "
+        "invariants, drift-free); 'suspect' = mode flipped mid-cell, "
+        "treat raw seconds as an envelope; 'healthy' = citable.",
         "corpus": "tools/scale_corpus.py (same generator at every scale; "
         "marker-gated reuse; missing tables generated in place)",
         "policy": "min-of-2 cold (persists released, caches + index/corpus-"
