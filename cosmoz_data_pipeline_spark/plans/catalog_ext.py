@@ -902,6 +902,57 @@ def _simhash_combo_cands(
     )
 
 
+# Fused verify (round 13, gated pending its A/B): carry the four
+# 16-bit signature words THROUGH the band rows so the exact Hamming
+# verify runs map-side right after the band self-join — no distinct
+# on unverified candidates, no joins back to the signature table.
+# Trade: the band-row exchange widens by 4 ints on both join sides
+# (129 M rows at x1000) against dropping the candidate distinct
+# (25.3 M rows) plus two candidate<->sigs shuffles (14.5 M x 2 +
+# 6.45 M x 2 rows at x1000). Either shape is skew-safe (sort-merge
+# join; no per-bucket collect_list, which a hot band value could
+# blow up). Output is bit-identical: same complete blocking, same
+# exact verify, distinct applied to verified rows whose every column
+# is determined by the pair.
+SIMHASH_FUSED_VERIFY: bool | None = None
+
+
+def _simhash_pairs_fused(
+    sigs: DataFrame, n_docs: int, wide: bool | None = None
+) -> DataFrame:
+    """x_dedup_simhash_pairs' output via the fused band-carry verify —
+    see SIMHASH_FUSED_VERIFY."""
+    bands = _simhash_band_rows(
+        sigs, n_docs, wide, carry=("s0", "s1", "s2", "s3")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.s{k}").bitwiseXOR(F.col(f"b.s{k}")))
+        for k in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+            F.format_string(
+                "%04x%04x%04x%04x", "a.s3", "a.s2", "a.s1", "a.s0"
+            ).alias("hex_a"),
+            F.format_string(
+                "%04x%04x%04x%04x", "b.s3", "b.s2", "b.s1", "b.s0"
+            ).alias("hex_b"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
 @register(
     "x_dedup_simhash_pairs",
     f"""WITH {_DOCS_AUG_SQL.lstrip()}, {_TOKS_SQL.lstrip()}, {_simhash64_oracle_ctes()},
@@ -968,7 +1019,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = scoped_persist(
         _simhash_sigs_kernel(docs) if use_kernel else tx.simhash64_bands(docs)
     )
-    cand = _simhash_combo_cands(sigs, _docs_aug_count(spark, sf_dir))
+    n = _docs_aug_count(spark, sf_dir)
+    if SIMHASH_FUSED_VERIFY:
+        return _simhash_pairs_fused(sigs, n)
+    cand = _simhash_combo_cands(sigs, n)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"sa{k}") for k in range(4)],

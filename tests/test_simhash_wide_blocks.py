@@ -59,3 +59,41 @@ def test_wide_and_narrow_blockings_verify_to_identical_pairs(spark, sf_dir):
         f"blocking schemes verify to different pair sets: "
         f"narrow-only={sorted(narrow - wide)[:5]} wide-only={sorted(wide - narrow)[:5]}"
     )
+
+
+def test_fused_verify_row_identity(spark, sf_dir):
+    """SIMHASH_FUSED_VERIFY is a physical reshape only: the band-carry
+    plan (verify map-side after the self-join, distinct on verified
+    rows) must produce row-for-row what the shipped joined shape
+    produces — every output column, both blocking schemes."""
+    from cosmoz_data_pipeline_spark.plans import REGISTRY
+    from cosmoz_data_pipeline_spark.plans import catalog_ext as CE
+
+    shipped = CE.SIMHASH_FUSED_VERIFY
+
+    def rows():
+        df = REGISTRY["x_dedup_simhash_pairs"].run(spark, sf_dir)
+        out = sorted(tuple(r) for r in df.collect())
+        release_persists()
+        return out
+
+    try:
+        CE.SIMHASH_FUSED_VERIFY = False
+        base = rows()
+        assert base
+        CE.SIMHASH_FUSED_VERIFY = True
+        assert rows() == base
+        # and under the wide scheme (both shapes share _simhash_blocks)
+        import cosmoz_data_pipeline_spark.plans.catalog_ext as ce
+
+        orig_wide = ce.SIMHASH_WIDE_N
+        try:
+            ce.SIMHASH_WIDE_N = 1  # force 8-block/C(8,5) keys
+            CE.SIMHASH_FUSED_VERIFY = True
+            wide_fused = rows()
+            CE.SIMHASH_FUSED_VERIFY = False
+            assert rows() == wide_fused == base
+        finally:
+            ce.SIMHASH_WIDE_N = orig_wide
+    finally:
+        CE.SIMHASH_FUSED_VERIFY = shipped

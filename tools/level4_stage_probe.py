@@ -37,7 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cosmoz_data_pipeline_spark.domain import levels  # noqa: E402
 from cosmoz_data_pipeline_spark.domain.synth import load_domain  # noqa: E402
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
-from cosmoz_data_pipeline_spark.sentinel import SENTINEL_REF_SEC, sentinel_sec  # noqa: E402
+from cosmoz_data_pipeline_spark.sentinel import (  # noqa: E402
+    SENTINEL_REF_SEC,
+    io_sentinel_sec,
+    io_window,
+    sentinel_sec,
+)
 from tools.scale_bench import _cold, _metrics_since, _stage_hwm  # noqa: E402
 
 DEFAULT_CORPORA = (
@@ -99,8 +104,19 @@ def main() -> None:
     for stage in STAGES:
         rec = {"t_sec": {}, "run_bytes": {}, "marginal_t_sec": {}}
         for d, mult in corpora:
+            # io brackets on the multi-GB-shuffle decades (r13): the
+            # window column says whether this cell's raw seconds are
+            # citable or run_bytes-only
+            io_pre = io_sentinel_sec(spark, repeats=1) if mult >= 1000 else None
             t, met = _one(spark, d, stage)
             key = f"x{mult}"
+            if io_pre is not None:
+                io_post = io_sentinel_sec(spark, repeats=1)
+                rec.setdefault("io_sentinel_sec", {})[key] = {
+                    "pre": io_pre,
+                    "post": io_post,
+                    "window": io_window(io_pre, io_post),
+                }
             rec["t_sec"][key] = t
             rec["run_bytes"][key] = met
             rec["marginal_t_sec"][key] = round(t - prev_t[key], 3)
