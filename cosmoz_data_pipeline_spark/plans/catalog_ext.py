@@ -902,18 +902,21 @@ def _simhash_combo_cands(
     )
 
 
-# Fused verify (round 13, gated pending its A/B): carry the four
-# 16-bit signature words THROUGH the band rows so the exact Hamming
-# verify runs map-side right after the band self-join — no distinct
-# on unverified candidates, no joins back to the signature table.
-# Trade: the band-row exchange widens by 4 ints on both join sides
-# (129 M rows at x1000) against dropping the candidate distinct
-# (25.3 M rows) plus two candidate<->sigs shuffles (14.5 M x 2 +
-# 6.45 M x 2 rows at x1000). Either shape is skew-safe (sort-merge
-# join; no per-bucket collect_list, which a hot band value could
-# blow up). Output is bit-identical: same complete blocking, same
-# exact verify, distinct applied to verified rows whose every column
-# is determined by the pair.
+# MEASURED OUT AT SCALE (round 13, SIMHASH_FUSED_AB.json): carry the
+# four 16-bit signature words THROUGH the band rows so the exact
+# Hamming verify runs map-side right after the band self-join — no
+# distinct on unverified candidates, no joins back to the signature
+# table. Interleaved A/B (3 repeats, identical output cell-hashes):
+# fused wins wall on small corpora (sf0.1 2.31->1.97 s, x100
+# 12.38->9.97 s best — fewer STAGES, a latency win) but the widened
+# band-row exchange costs +68 % shuffle bytes at x100 (454->763 MB)
+# and x1000 (5.20->8.76 GB) for a wall TIE at x1000 (45.74 vs
+# 45.76 s, healthy io window). Locally the extra bytes ride the page
+# cache; on a network-shuffle cluster bytes are the currency, so the
+# 100 TB plan is the slim JOINED shape and the default stays None
+# (= joined) at every scale. Flag retained for the A/B and for
+# latency-sensitive small-corpus deployments; row identity pinned by
+# tests/test_simhash_wide_blocks.py::test_fused_verify_row_identity.
 SIMHASH_FUSED_VERIFY: bool | None = None
 
 
