@@ -1110,10 +1110,17 @@ _NGRAM_KEEP = 0.6 - 1e-9
 # topology. The win window would need large clusters (pair
 # amplification >> audit volume) or a session that amortizes the
 # audit across many queries (the memo already enables this; bench's
-# cold policy — correctly — does not). The hook stays for
-# re-measurement on such corpora: None = auto (audited hash verify at
-# >= MINHASH_KERNEL_MIN_N augmented docs), True forces it, and output
-# identity incl. the audit-failure fallback is pinned by
+# cold policy — correctly — does not). Round 13 TESTED that window
+# head-on (NGRAM_HASH_AB.json cluster_note; tools/cluster_corpus.py:
+# 5k clusters x 40 near-copies, half engineered to band-collide but
+# FAIL the 0.6 verify, 246k output pairs from 300k docs): the string
+# verify still won, 13.40 vs 16.91 s best interleaved — the screen's
+# extra hash-set exchange outweighs the string shipping it saves even
+# when ~half the candidates fail verify. The win window is now empty
+# on both measured corpus shapes; the hook remains ONLY as the
+# collision-fallback exactness reference: None = auto (audited hash
+# verify at >= MINHASH_KERNEL_MIN_N augmented docs), True forces it,
+# and output identity incl. the audit-failure fallback is pinned by
 # tests/test_ngram_hash_verify.py either way.
 NGRAM_HASH_VERIFY: bool | None = False
 # test hook: pmod the 64-bit hash into a tiny space to force
