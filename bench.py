@@ -135,13 +135,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "st1_write_sec": st1_write,
-                "st1_note": "st1_incremental_overwrite's timed total includes "
-                "a full-sink read-back that exists only for the oracle-compare "
-                "contract (~30% of the query at sf0.1, ST1_STAGES.json); "
-                "deployments pay only the write leg, reported here as "
-                "st1_write_sec (build+backfill+incremental overwrite, min-of-3). "
-                "The headline 'queries' entry stays total for cross-round "
-                "comparability.",
+                "st1_note": "st1_incremental_overwrite returns a full-sink "
+                "read-back that exists only for the oracle-compare contract "
+                "(ST1_STAGES.json: 2.8 s of 8.7 at sf0.1 when materialized); "
+                "under THIS harness's count() force the read-back collapses "
+                "to parquet count-star metadata (measured: total-write gap "
+                "~0.1 s), so the headline already approximates the "
+                "deployment-paid write leg, reported separately as "
+                "st1_write_sec (build+backfill+incremental overwrite, "
+                "min-of-3). The oracle-compare gate (tools/check_all.py, "
+                "driver) is what pays the materialized read.",
                 "sentinel_sec": sent,
                 "sentinel_pre_sec": sent_pre,
                 "sentinel_post_sec": sent_post,
