@@ -90,7 +90,10 @@ def main() -> None:
     # min-of-2, not comparable): cold-cache before EVERY run, min-of-3
     # absorbs host/JIT noise.
     timings: dict[str, float] = {}
-    st1_write = float("inf")
+    # None until a measurement lands: if st1 is absent from the run
+    # (trimmed registry) the artifact emits null, not the non-standard
+    # JSON 'Infinity' (ADVICE r13)
+    st1_write = None
     for _pass in range(3):
         for name in REGISTRY:
             q = REGISTRY[name]
@@ -120,7 +123,8 @@ def main() -> None:
                 # returned DataFrame is the sink READ-BACK, which only
                 # the oracle-compare contract pays (ST1_STAGES.json) —
                 # record the deployment-relevant write leg separately
-                st1_write = min(st1_write, round(t_build, 3))
+                t_b = round(t_build, 3)
+                st1_write = t_b if st1_write is None else min(st1_write, t_b)
     _cold(spark)
     sent_post = sentinel_sec(spark)
     sent = min(sent_pre, sent_post)

@@ -856,7 +856,7 @@ def _simhash_band_rows(
     """(doc_id, band_idx, band_val[, *carry]) rows from the Manku
     multi-block scheme — one posexplode of the C(b, b-m) combo keys
     per signature row. ``carry`` names extra sig columns to ride along
-    (see the fused verify in _simhash_combo_cands)."""
+    (see the fused verify in _simhash_pairs_fused)."""
     from itertools import combinations
 
     if wide is None:

@@ -112,12 +112,14 @@ IO_SENTINEL_REF_SEC: float | None = 4.30
 IO_DRIFT_THRESHOLD_SEC = 7.0
 
 
-def io_window(*samples: float) -> str:
+def io_window(*samples: float | None) -> str:
     """Classify a timed cell's I/O-sentinel brackets: 'healthy' (all
-    brackets fast), 'drift' (ALL brackets slow — the cell ran inside
-    the slow-I/O window; grade it on run_bytes, not seconds), or
-    'suspect' (mixed — the window flipped mid-cell; treat raw seconds
-    as an envelope)."""
+    provided samples fast), 'drift' (all provided samples slow — the
+    cell ran inside the slow-I/O window; grade it on run_bytes, not
+    seconds), or 'suspect' (mixed — the window flipped mid-cell; treat
+    raw seconds as an envelope). None samples are dropped; with a
+    single bracket the classification rests on that one sample
+    (callers today always pass both brackets)."""
     vals = [s for s in samples if s is not None]
     if not vals:
         return "unknown"

@@ -58,16 +58,25 @@ def main() -> None:
     )
     with open(path) as f:
         src = f.read()
-    src = re.sub(
-        r"_IO_XOR: int \| None = None  # pinned by tools/pin_io_sentinel\.py",
+    # match whatever value/comment currently follows the assignment so
+    # a re-pin after adoption still rewrites it (ADVICE r13: the old
+    # literal patterns only matched the pre-adoption placeholders, so a
+    # re-pin would silently leave the source unchanged)
+    src, n_xor = re.subn(
+        r"_IO_XOR: int \| None = .*",
         f"_IO_XOR: int | None = {xor}  # pinned (tools/pin_io_sentinel.py)",
         src,
     )
-    src = re.sub(
-        r"IO_SENTINEL_REF_SEC: float \| None = None  # pinned at adoption",
+    src, n_ref = re.subn(
+        r"IO_SENTINEL_REF_SEC: float \| None = .*",
         f"IO_SENTINEL_REF_SEC: float | None = {ref}  # pinned at adoption",
         src,
     )
+    if n_xor != 1 or n_ref != 1:
+        raise SystemExit(
+            f"pin failed: matched _IO_XOR {n_xor}x, IO_SENTINEL_REF_SEC "
+            f"{n_ref}x in {path} (expected exactly 1 each) — source drifted"
+        )
     with open(path, "w") as f:
         f.write(src)
     print(f"pinned into {path}")
