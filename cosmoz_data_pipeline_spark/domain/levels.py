@@ -498,6 +498,39 @@ def _fused_temporal_attach(
     )
 
 
+def _finish_level1(flagged: DataFrame) -> DataFrame:
+    """Shared level1 tail: first-row/duplicate drop + flag ladder over
+    a frame carrying ``prev_count`` and ``is_duplicate``
+    (cosmoz_process_levels.py:389-429)."""
+    kept = flagged.where(
+        F.col("prev_count").isNotNull() & ~F.col("is_duplicate")
+    )
+    return kept.select(
+        "time",
+        "site_no",
+        physics.level1_flag(
+            F.col("battery"), F.col("count"), F.col("prev_count"), F.col("flag")
+        ).alias("flag"),
+        *LEVEL1_FIELDS,
+    )
+
+
+def raw_to_level1_scan_local(spark, sink_path: str) -> DataFrame:
+    """raw→level1 over a layout-contracted raw SINK (time-sorted
+    site-tiled parquet, operators/scan_local.py) — row-for-row what
+    ``raw_to_level1(spark.read.parquet(sink_path))`` computes, with
+    both wide sequence exchanges (prev_count lag + 29-min duplicate
+    window, 73 of level1's 77 s at x1000 per LEVEL1_STAGES.json)
+    replaced by per-file scan-local passes and a per-(site, file)
+    boundary stitch. The storage-backed at-scale path: the deployed
+    pipeline always reads raw from the sink, whose writer already
+    guarantees the layout."""
+    from ..operators.scan_local import scan_local_raw_flags
+
+    flagged = scan_local_raw_flags(spark, sink_path, RAW_PAYLOAD)
+    return _finish_level1(flagged)
+
+
 def raw_to_level1(raw: DataFrame) -> DataFrame:
     """raw_values → level1: 29-min exact-duplicate drop, first-row
     skip, ±20 % count-jump / low-battery flag ladder
@@ -521,18 +554,7 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
         # scale shape (LEVEL1_DUP_SUBSET): prev_count + candidate
         # screen in ONE wide exchange, exact dup confirm on the
         # subset — subsumes the two flags below
-        flagged = _level1_fused_scan(raw)
-        kept = flagged.where(
-            F.col("prev_count").isNotNull() & ~F.col("is_duplicate")
-        )
-        return kept.select(
-            "time",
-            "site_no",
-            physics.level1_flag(
-                F.col("battery"), F.col("count"), F.col("prev_count"), F.col("flag")
-            ).alias("flag"),
-            *LEVEL1_FIELDS,
-        )
+        return _finish_level1(_level1_fused_scan(raw))
     bucketed = (
         _bucketed_auto(raw) if LEVEL1_SEQ_BUCKETED is None else LEVEL1_SEQ_BUCKETED
     )
@@ -576,15 +598,7 @@ def raw_to_level1(raw: DataFrame) -> DataFrame:
             F.col("prev_same_payload_time").isNotNull()
             & (F.col("prev_same_payload_time") >= F.col("time") - F.expr("INTERVAL 29 MINUTE")),
         )
-    kept = flagged.where(F.col("prev_count").isNotNull() & ~F.col("is_duplicate"))
-    return kept.select(
-        "time",
-        "site_no",
-        physics.level1_flag(
-            F.col("battery"), F.col("count"), F.col("prev_count"), F.col("flag")
-        ).alias("flag"),
-        *LEVEL1_FIELDS,
-    )
+    return _finish_level1(flagged)
 
 
 def level1_to_level2(

@@ -1,0 +1,527 @@
+"""Scan-local per-key sequence ops over layout-contracted parquet
+(round 14, VERDICT r13 tasks 1-2).
+
+Problem (LEVEL1_STAGES.json): level1's two sequence legs — the
+``lag(count)`` prev-reading and the 29-min exact-duplicate window
+(reference /root/reference/pipeline/raw->level1.sql:91-93 and
+/root/reference/pipeline/cosmoz_process_levels.py:357-360,375-390) —
+each hash-shuffle the FULL 17-column fact (14 GB at x1000, 57 s + 16 s
+of level1's 77 s wall) to compute values that are almost entirely
+file-local. Spark's window operator always inserts that exchange: a
+window's required ClusteredDistribution can only be satisfied by a
+shuffle (or a bucketed metastore table, which the plain-parquet sink
+contract doesn't provide), and a ``Window.partitionBy(_metadata.
+file_path)`` still shuffles — plus it silently breaks whenever a file
+splits across tasks at ``spark.sql.files.maxPartitionBytes``.
+
+This module instead exploits the sink's storage layout, the way a
+cluster at 100 TB would have to: the level sinks already write
+time-ordered site-tiled parquet (streaming/incremental.py), so both
+sequence values are computable inside the scan, per file, with only a
+TINY per-(site, file) boundary exchange:
+
+- main pass: one whole parquet file per Spark task (a ``spark.range``
+  of file indices mapped through Arrow ``mapInPandas``; each task
+  streams its file's row batches through pyarrow). Within a file the
+  layout contract makes rows (site, time)-sorted, so ``prev_count``
+  is a vectorized shift and the 29-min duplicate check a hash-group
+  diff + exact payload confirm — no shuffle, no sort, no window.
+  Whole-file tasks are deliberate: they make the operator immune to
+  the file-split hazard above, at the price of parallelism = #files
+  (the sink's writer controls file count; see ``write_time_tiled``).
+- boundary stitch: a column-pruned scan aggregates one row per
+  (site, file) — head/tail time + tail count — map-side combined, so
+  the only exchange carries #files rows, not data rows. A per-site
+  window over that tiny table chains each file to its predecessor;
+  broadcast back, it patches each file's first-row ``prev_count``.
+- duplicate zone fix: a row can only need cross-file lookback if it
+  sits within 29 min of its file's per-site head ("head zone"); its
+  potential matchers in earlier files provably sit within 29 min of
+  their file's per-site tail ("tail zone" — proof in
+  ``_zone_fix``). The exact duplicate window (the same hash-prefixed
+  expressions domain/levels.py ships) runs over just the zone rows,
+  and its verdicts for head-zone rows are joined back — keyed
+  null-safely on (site, time, payload struct) with a per-tie-group
+  count so equal-timestamp duplicate pairs resolve to exactly the
+  same number of drops as the single-window shape.
+
+Layout contract (validated, loud failure on breach):
+  1. within each parquet file, rows are sorted by (site, time);
+  2. for each site, distinct files cover disjoint time ranges;
+  3. equal (site, time) rows never straddle files.
+``write_time_tiled`` produces the layout via range partitioning (its
+partitioner never splits equal keys, giving 2 and 3 for free), and a
+day-partitioned sink like streaming/incremental.py satisfies it once
+rows are sorted within each (site, day) file.
+
+Exactness notes: time ties within a site resolve by in-file order —
+the same nondeterminism the plain window has (bucketed_window.py's
+caveat). Hash-group duplicate candidates are confirmed by exact
+payload comparison, with a bounded fallback scan on hash collision,
+so drops are never probabilistic. Values compare as pandas
+materializes them (int64 columns containing nulls ride as float64;
+integers beyond 2^53 with nulls would lose exactness — the domain's
+counts are 4-digit).
+
+100 TB design: shuffle bytes for both legs drop from O(data) to
+O(#files); the Python leg is Arrow-batched and scan-local, so it
+scales with executors instead of fighting a 22-key sort. Adoption is
+measured, not assumed — tools/level1_scanlocal_ab.py interleaves this
+shape against the shipped bucketed-window shape at x1000
+(LEVEL1_SCANLOCAL_AB.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DUP_WINDOW_SECS = 29 * 60
+
+
+def write_time_tiled(
+    df: DataFrame, path: str, n_files: int, site_col: str = "site_no",
+    time_col: str = "time",
+) -> None:
+    """Write ``df`` as the layout-contracted parquet this module
+    scans: ``n_files`` range-partitioned files, each sorted by
+    (site, time). Range partitioning keeps every site's timeline a
+    disjoint ordered tiling across files and never splits equal
+    (site, time) keys across two files."""
+    (
+        df.repartitionByRange(n_files, F.col(site_col), F.col(time_col))
+        .sortWithinPartitions(site_col, time_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _local_path(uri: str) -> str:
+    """file: URIs → plain paths for pyarrow; other schemes pass
+    through (pyarrow resolves hdfs/s3 when those filesystems are
+    available to the executors)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(uri)
+    return unquote(u.path) if u.scheme == "file" else uri
+
+
+def _fpath_col() -> F.Column:
+    """``_metadata.file_path`` canonicalized to match ``_local_path``
+    over ``df.inputFiles()``: Hadoop renders local files as
+    ``file:/p`` (single slash) while inputFiles returns the
+    percent-encoded ``file:///p`` URI — joining the two raw strings
+    silently matches nothing."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def _tus(series) -> "np.ndarray":  # noqa: F821
+    """Timestamp series → int64 epoch MICROseconds (tz dropped; the
+    session pins UTC so wall == epoch). Microseconds, not nanoseconds:
+    int64 ns overflows past year 2262, and the x1000 synthetic corpus
+    runs centuries past it — parquet/Spark timestamps are µs anyway."""
+    import numpy as np
+
+    vals = series.values
+    if getattr(vals, "tz", None) is not None:  # DatetimeArray w/ tz
+        vals = vals.tz_localize(None)  # type: ignore[union-attr]
+    return np.asarray(vals, dtype="datetime64[us]").astype("int64")
+
+
+def _pay_eq(pay_arrays, i, j) -> bool:
+    """NaN/None-safe scalar payload equality between row i and j."""
+    import pandas as pd
+
+    for col in pay_arrays:
+        a, b = col[i], col[j]
+        if pd.isna(a) or pd.isna(b):
+            if pd.isna(a) and pd.isna(b):
+                continue
+            return False
+        if a != b:
+            return False
+    return True
+
+
+def _dup_flags(seg, c_tus, h, pay_arrays, r_us):
+    """Exact 29-min duplicate flags over one sorted (carry+batch)
+    frame: nearest same-hash predecessor within ``r_us`` via
+    vectorized group-shift, payload-confirmed; on hash collision a
+    bounded lookback scan restores exactness (unit-tested directly
+    with a degenerate all-equal hash in tests/test_scan_local.py)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(c_tus)
+    key = pd.DataFrame({"s": seg, "h": h, "t": c_tus})
+    prev_t = key.groupby(["s", "h"], sort=False)["t"].shift(1).to_numpy()
+    prev_pos = (
+        pd.Series(np.arange(n, dtype=np.float64))
+        .groupby([key["s"], key["h"]], sort=False)
+        .shift(1)
+        .to_numpy()
+    )
+    cand = ~np.isnan(prev_t) & ((c_tus - prev_t) <= r_us)
+    dup = np.zeros(n, dtype=bool)
+    if not cand.any():
+        return dup
+    ci = np.flatnonzero(cand)
+    pj = prev_pos[ci].astype(np.int64)
+    ok = np.ones(len(ci), dtype=bool)
+    for col in pay_arrays:
+        a, b = col[ci], col[pj]
+        try:
+            a_na = pd.isna(a)
+            b_na = pd.isna(b)
+            eq = np.zeros(len(ci), dtype=bool)
+            both = ~a_na & ~b_na
+            eq[both] = a[both] == b[both]
+            eq |= a_na & b_na
+        except TypeError:  # mixed object fallback
+            eq = np.array([_pay_eq([col], x, y) for x, y in zip(ci, pj)])
+        ok &= eq
+    dup[ci[ok]] = True
+    # hash-collision fallback: the nearest same-hash row was a
+    # different payload; scan the bounded lookback for a true match
+    # (astronomically rare; exactness must not rest on 64-bit hashes)
+    for x in ci[~ok]:
+        lo = c_tus[x] - r_us
+        for y in range(int(x) - 1, -1, -1):
+            if seg[y] != seg[x] or c_tus[y] < lo:
+                break
+            if h[y] == h[x] and _pay_eq(pay_arrays, x, y):
+                dup[x] = True
+                break
+    return dup
+
+
+def _make_kernel(paths, all_cols, payload_cols, site_col, time_col,
+                 count_col, batch_rows):
+    """Build the per-file mapInPandas kernel. ``paths`` is captured in
+    the closure (one broadcast-pickled list; fine into the 100k-file
+    range)."""
+    R_US = DUP_WINDOW_SECS * 1_000_000
+
+    def kernel(id_batches):
+        for id_pdf in id_batches:
+            for fid in id_pdf["id"].tolist():
+                yield from _one_file(int(fid))
+
+    def _one_file(fid):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from pandas.util import hash_pandas_object
+
+        path = paths[fid]
+        pf = pq.ParquetFile(_local_path(path))
+        carry = None  # trailing-29-min frame of the last site run
+        last_site = None
+        last_time_us = None
+        run_head_us = None
+
+        for rb in pf.iter_batches(batch_size=batch_rows, columns=list(all_cols)):
+            pdf = rb.to_pandas()
+            if not len(pdf):
+                continue
+            site = pdf[site_col].to_numpy()
+            tus = _tus(pdf[time_col])
+
+            # --- layout contract validation (loud, names the file) ---
+            if len(site) > 1:
+                brk = site[1:] != site[:-1]
+                if (site[1:] < site[:-1]).any() or (
+                    (tus[1:] < tus[:-1]) & ~brk
+                ).any():
+                    raise ValueError(
+                        f"scan_local layout violation in {path}: rows are "
+                        f"not sorted by ({site_col}, {time_col})"
+                    )
+            if last_site is not None and (
+                site[0] < last_site
+                or (site[0] == last_site and tus[0] < last_time_us)
+            ):
+                raise ValueError(
+                    f"scan_local layout violation in {path}: batch starts "
+                    f"before the previous batch's last row"
+                )
+
+            n_carry = len(carry) if carry is not None else 0
+            if n_carry and site[0] != last_site:
+                carry, n_carry = None, 0  # new run: carry is stale
+
+            if n_carry:
+                comb = pd.concat([carry, pdf], ignore_index=True)
+            else:
+                comb = pdf.reset_index(drop=True)
+            c_site = comb[site_col].to_numpy()
+            c_tus = _tus(comb[time_col])
+            n = len(comb)
+
+            # contiguous site runs over carry+batch
+            seg = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                seg[1:] = (c_site[1:] != c_site[:-1]).astype(np.int64)
+            seg = np.cumsum(seg)
+
+            # prev_count: shift within runs
+            cnt = comb[count_col].to_numpy()
+            prev_cnt = np.empty(n, dtype=object)
+            prev_cnt[0] = None
+            if n > 1:
+                prev_cnt[1:] = np.where(seg[1:] == seg[:-1], cnt[:-1], None)
+
+            # run-head flags: a run starting inside this (carry+batch)
+            # frame starts at the file level unless it is the carried
+            # run's continuation (carry rows occupy the head of frame)
+            starts = np.zeros(n, dtype=bool)
+            starts[0] = n_carry == 0
+            if n > 1:
+                starts[1:] = seg[1:] != seg[:-1]
+
+            # per-row head time of the owning run: forward-fill the
+            # last start position; rows before any start belong to the
+            # carried run (head time carried across batches)
+            last_start = np.maximum.accumulate(
+                np.where(starts, np.arange(n), -1)
+            )
+            head_us = np.where(
+                last_start >= 0,
+                c_tus[np.clip(last_start, 0, None)],
+                run_head_us if run_head_us is not None else c_tus[0],
+            )
+            zone = (c_tus - head_us) <= R_US
+
+            # --- duplicate detection: hash-group diff + exact confirm
+            h = hash_pandas_object(comb[list(payload_cols)], index=False).to_numpy()
+            pay_arrays = [comb[c].to_numpy() for c in payload_cols]
+            dup = _dup_flags(seg, c_tus, h, pay_arrays, R_US)
+
+            # tie index within equal (site, time, payload) groups —
+            # only needed where (site, time) actually ties, so exact
+            # payload grouping on that small subset stays cheap
+            tie = np.zeros(n, dtype=np.int32)
+            if n > 1:
+                tied = np.zeros(n, dtype=bool)
+                same_t = (c_tus[1:] == c_tus[:-1]) & (seg[1:] == seg[:-1])
+                tied[1:] |= same_t
+                tied[:-1] |= same_t
+                if tied.any():
+                    ti = np.flatnonzero(tied)
+                    sub = comb.iloc[ti]
+                    tie[ti] = (
+                        sub.groupby(
+                            [sub[site_col], pd.Series(c_tus[ti], index=sub.index)]
+                            + [sub[c] for c in payload_cols],
+                            sort=False,
+                            dropna=False,
+                        )
+                        .cumcount()
+                        .to_numpy()
+                        .astype(np.int32)
+                    )
+
+            # emit only the non-carry region
+            out = comb.iloc[n_carry:].copy()
+            out["prev_count"] = pd.array(prev_cnt[n_carry:], dtype="Int64")
+            out["is_duplicate"] = dup[n_carry:]
+            out["__fp"] = np.int64(fid)
+            out["__head"] = starts[n_carry:]
+            out["__zone"] = zone[n_carry:]
+            out["__tie"] = tie[n_carry:]
+            yield out
+
+            # roll state: trailing 29-min frame of the LAST run
+            last_site = c_site[-1]
+            last_time_us = c_tus[-1]
+            run_head_us = head_us[-1]
+            keep = (seg == seg[-1]) & (c_tus >= c_tus[-1] - R_US)
+            carry = comb.iloc[np.flatnonzero(keep)].reset_index(drop=True)
+
+    return kernel
+
+
+def scan_local_raw_flags(
+    spark: SparkSession,
+    path: str,
+    payload_cols,
+    site_col: str = "site_no",
+    time_col: str = "time",
+    count_col: str = "count",
+    batch_rows: int = 131072,
+    validate: bool = True,
+) -> DataFrame:
+    """Raw columns + ``prev_count`` + ``is_duplicate`` over a
+    layout-contracted parquet dataset at ``path`` — row-for-row what
+    the window shapes in domain/levels.py compute, with zero wide
+    shuffles (see module docstring)."""
+    from pyspark.sql import types as T
+
+    src = spark.read.parquet(path)
+    files = sorted(src.inputFiles())
+    if not files:
+        raise ValueError(f"scan_local: no parquet files under {path}")
+    n_files = len(files)
+    all_cols = [f.name for f in src.schema.fields]
+    missing = [c for c in (site_col, time_col, count_col, *payload_cols)
+               if c not in all_cols]
+    if missing:
+        raise ValueError(f"scan_local: columns {missing} absent from {path}")
+
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("prev_count", T.LongType()),
+            T.StructField("is_duplicate", T.BooleanType()),
+            T.StructField("__fp", T.LongType()),
+            T.StructField("__head", T.BooleanType()),
+            T.StructField("__zone", T.BooleanType()),
+            T.StructField("__tie", T.IntegerType()),
+        ]
+    )
+    kernel = _make_kernel(
+        files, all_cols, list(payload_cols), site_col, time_col, count_col,
+        batch_rows,
+    )
+    ids = spark.range(0, n_files, 1, numPartitions=n_files)
+    main = ids.mapInPandas(kernel, schema=out_schema)
+
+    # --- boundary stitch (tiny): one row per (site, file) ------------
+    secs = F.col(time_col).cast("long")
+    pmap = F.broadcast(
+        spark.createDataFrame(
+            [(i, _local_path(p)) for i, p in enumerate(files)],
+            "`__fp` long, `__fpath` string",
+        )
+    )
+    slim = src.select(
+        site_col, time_col, count_col, _fpath_col().alias("__fpath")
+    )
+    agg = (
+        slim.groupBy(site_col, "__fpath")
+        .agg(
+            F.min(time_col).alias("__head_t"),
+            F.max(time_col).alias("__tail_t"),
+            F.max_by(count_col, secs).alias("__tail_count"),
+        )
+        .join(pmap, "__fpath", "left")
+    )
+    try:  # lazy import: plans imports operators at package load
+        from ..plans.registry import scoped_persist
+
+        agg = scoped_persist(agg)
+    except Exception:  # pragma: no cover - registry unavailable
+        agg = agg.persist()
+    w_site = Window.partitionBy(site_col).orderBy("__head_t")
+    patch = agg.select(
+        site_col,
+        "__fp",
+        "__head_t",
+        "__tail_t",
+        F.lag("__tail_count").over(w_site).alias("__prev_tail_count"),
+        F.lag("__tail_t").over(w_site).alias("__prev_tail_t"),
+    )
+    if validate:
+        # contract 2+3: per-site file ranges strictly disjoint (ties
+        # straddling files would make the zone fix nondeterministic
+        # against the single-window shape — refuse, don't guess);
+        # plus path-canonicalization coverage: every scanned file must
+        # resolve to a kernel file index or the stitch is silently
+        # incomplete (the exact bug class _fpath_col guards)
+        bad = patch.where(F.col("__prev_tail_t") >= F.col("__head_t")).count()
+        unmapped = agg.where(F.col("__fp").isNull()).count()
+        if unmapped:
+            raise ValueError(
+                f"scan_local: {unmapped} (site, file) groups under {path} "
+                "could not be mapped back to a scanned file — path "
+                "canonicalization mismatch between _metadata.file_path "
+                "and inputFiles()"
+            )
+        if bad:
+            raise ValueError(
+                f"scan_local layout violation under {path}: {bad} "
+                f"(site, file) ranges overlap or tie their predecessor"
+            )
+
+    stitched = (
+        main.join(
+            F.broadcast(patch.select(site_col, "__fp", "__prev_tail_count")),
+            [site_col, "__fp"],
+            "left",
+        )
+        .withColumn(
+            "prev_count",
+            F.when(F.col("__head"), F.col("__prev_tail_count")).otherwise(
+                F.col("prev_count")
+            ),
+        )
+        .drop("__prev_tail_count")
+    )
+
+    # --- duplicate zone fix (exact, small) ---------------------------
+    # Head zone of (site, file) f: t <= head_t(f) + R — the only rows
+    # whose 29-min lookback can leave the file. Their matchers in an
+    # earlier file g satisfy r.t >= u.t - R >= head_t(f) - R >=
+    # tail_t(g) - R (disjoint tiling) — i.e. they sit in g's tail
+    # zone. So S = head ∪ tail zones contains every head-zone row AND
+    # every row its lookback can reach; the exact duplicate window
+    # restricted to S therefore reproduces the full-series verdict
+    # for every head-zone row (its true nearest same-payload
+    # predecessor, when within R, is in S; any same-payload row
+    # between that predecessor and the row is within R too, hence
+    # also in S).
+    R = DUP_WINDOW_SECS
+    bounds = F.broadcast(
+        agg.select(
+            site_col, "__fpath",
+            F.col("__head_t").cast("long").alias("__hs"),
+            F.col("__tail_t").cast("long").alias("__ts"),
+        )
+    )
+    zones = (
+        src.select(*all_cols, _fpath_col().alias("__fpath"))
+        .join(bounds, [site_col, "__fpath"])
+        .where((secs <= F.col("__hs") + R) | (secs >= F.col("__ts") - R))
+    )
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    dupw = Window.partitionBy(
+        F.xxhash64(site_col, *payload_cols), site_col
+    ).orderBy(pay, time_col)
+    prev_pay = F.lag(pay).over(dupw)
+    fix = (
+        zones.withColumn(
+            "__pt", F.when(prev_pay.eqNullSafe(pay), F.lag(time_col).over(dupw))
+        )
+        .withColumn(
+            "__zdup",
+            F.col("__pt").isNotNull()
+            & (F.col("__pt") >= F.col(time_col) - F.expr("INTERVAL 29 MINUTE")),
+        )
+        .where(secs <= F.col("__hs") + R)  # verdicts used for head zone only
+        .groupBy(site_col, time_col, pay.alias("__pay"))
+        .agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(F.col("__zdup").cast("int")).alias("__ndup"),
+        )
+    )
+    m_pay = F.struct(*[stitched[c] for c in payload_cols])
+    joined = stitched.join(
+        F.broadcast(fix),
+        (stitched[site_col] == fix[site_col])
+        & (stitched[time_col] == fix[time_col])
+        & m_pay.eqNullSafe(fix["__pay"]),
+        "left",
+    )
+    out = joined.select(
+        *[stitched[c] for c in all_cols],
+        stitched["prev_count"],
+        F.when(
+            stitched["__zone"],
+            F.coalesce(
+                F.col("__tie") >= (F.col("__k") - F.col("__ndup")), F.lit(False)
+            ),
+        )
+        .otherwise(stitched["is_duplicate"])
+        .alias("is_duplicate"),
+    )
+    return out
