@@ -52,6 +52,10 @@ _TAIL = [
     "x_ann_ivf_topk_train",
     "x_ann_ivf_topk_search",
     "x_multimodal_decode_ppm",
+    # round 14: the storage-backed level1 reshape — same oracle as the
+    # recorded `level1` (which stays the driver-attested entry); this
+    # view pins the scan-local physical shape to strict oracle parity
+    "level1_scan_local",
 ]
 _ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 _ordered.update(

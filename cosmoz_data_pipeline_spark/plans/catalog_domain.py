@@ -63,6 +63,33 @@ def q_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "level1_scan_local",
+    oracles.LEVEL1_ORACLE,
+    doc="W1/J7-J9 storage-backed at-scale shape: raw_values written as the "
+    "layout-contracted sink (time-sorted site-tiled parquet, "
+    "operators/scan_local.py), then raw→level1 with BOTH wide sequence "
+    "exchanges (prev_count lag + 29-min duplicate window — 73 of level1's "
+    "77 s at x1000, LEVEL1_STAGES.json) replaced by per-file scan-local "
+    "passes and a per-(site, file) boundary stitch. Same oracle as level1: "
+    "the physical reshape must be row-for-row invisible.",
+)
+def q_level1_scan_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_streaming import _detach, _scratch
+
+    raw = load_domain(spark, sf_dir)["raw_values"]
+    scratch = _scratch("l1sl")
+    sink = f"{scratch}/raw_sink"
+    # 16 files over the small corpora keeps per-site file spans near
+    # the 29-min window, so boundary stitch + zone fix fire constantly
+    # under the oracle gate (the at-scale A/B uses 256+ files)
+    from ..operators.scan_local import write_time_tiled
+
+    write_time_tiled(raw, sink, n_files=16)
+    out = _fmt_time(levels.raw_to_level1_scan_local(spark, sink))
+    return _detach(out, scratch)
+
+
+@register(
     "level2",
     oracles.LEVEL2_ORACLE,
     doc="level1→level2: J1 broadcast dim join, J3 day-grain SILO join, J4 "

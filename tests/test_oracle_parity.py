@@ -18,6 +18,7 @@ FAST = [
     "j05_asof_backward_join",
     "j07_windowed_dedup",
     "level1",
+    "level1_scan_local",
     "level3",
     "x_dedup_exact",
     "x_text_fingerprint",
