@@ -143,30 +143,68 @@ def _pay_eq(pay_arrays, i, j) -> bool:
     return True
 
 
+def _payload_hash(pay_arrays, n):
+    """Vectorized 64-bit row hash over payload columns, DTYPE-STABLE:
+    numeric columns hash through a float64 normalization (equal values
+    hash equal even when one Arrow batch materializes an int column as
+    int64 and another — containing nulls — as float64), NaN/None and
+    ±0.0 are canonicalized, and non-numeric columns fall back to
+    pandas' deterministic per-column hash."""
+    import numpy as np
+    import pandas as pd
+
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    NAN_TOKEN = np.uint64(0x7FF8DEADBEEF0001)
+    h = np.full(n, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for col in pay_arrays:
+        arr = np.asarray(col)
+        if arr.dtype.kind in "iufb":
+            f = arr.astype(np.float64, copy=True)
+            nan = np.isnan(f)
+            f[f == 0.0] = 0.0  # -0.0 → +0.0 (compares equal)
+            u = f.view(np.uint64).copy()
+            u[nan] = NAN_TOKEN
+        else:
+            u = pd.util.hash_pandas_object(
+                pd.Series(arr), index=False
+            ).to_numpy().astype(np.uint64)
+        # splitmix64-style finalizer, then combine
+        u ^= u >> np.uint64(30)
+        u *= M1
+        u ^= u >> np.uint64(27)
+        u *= M2
+        u ^= u >> np.uint64(31)
+        h = (h * M1) ^ u
+    return h
+
+
 def _dup_flags(seg, c_tus, h, pay_arrays, r_us):
     """Exact 29-min duplicate flags over one sorted (carry+batch)
-    frame: nearest same-hash predecessor within ``r_us`` via
-    vectorized group-shift, payload-confirmed; on hash collision a
-    bounded lookback scan restores exactness (unit-tested directly
-    with a degenerate all-equal hash in tests/test_scan_local.py)."""
+    frame: nearest same-hash predecessor within ``r_us`` via a stable
+    lexsort (groups contiguous, original order kept on full ties),
+    payload-confirmed; on hash collision a bounded lookback scan
+    restores exactness (unit-tested directly with a degenerate
+    all-equal hash in tests/test_scan_local.py)."""
     import numpy as np
     import pandas as pd
 
     n = len(c_tus)
-    key = pd.DataFrame({"s": seg, "h": h, "t": c_tus})
-    prev_t = key.groupby(["s", "h"], sort=False)["t"].shift(1).to_numpy()
-    prev_pos = (
-        pd.Series(np.arange(n, dtype=np.float64))
-        .groupby([key["s"], key["h"]], sort=False)
-        .shift(1)
-        .to_numpy()
-    )
-    cand = ~np.isnan(prev_t) & ((c_tus - prev_t) <= r_us)
     dup = np.zeros(n, dtype=bool)
+    if n < 2:
+        return dup
+    so = np.lexsort((c_tus, h, seg))
+    same = (seg[so[1:]] == seg[so[:-1]]) & (h[so[1:]] == h[so[:-1]])
+    prev_pos = np.full(n, -1, dtype=np.int64)
+    prev_pos[so[1:]] = np.where(same, so[:-1], -1)
+    has = prev_pos >= 0
+    diff = np.zeros(n, dtype=np.int64)
+    diff[has] = c_tus[has] - c_tus[prev_pos[has]]
+    cand = has & (diff <= r_us)
     if not cand.any():
         return dup
     ci = np.flatnonzero(cand)
-    pj = prev_pos[ci].astype(np.int64)
+    pj = prev_pos[ci]
     ok = np.ones(len(ci), dtype=bool)
     for col in pay_arrays:
         a, b = col[ci], col[pj]
@@ -211,7 +249,7 @@ def _make_kernel(paths, all_cols, payload_cols, site_col, time_col,
         import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
-        from pandas.util import hash_pandas_object
+
 
         path = paths[fid]
         pf = pq.ParquetFile(_local_path(path))
@@ -293,8 +331,8 @@ def _make_kernel(paths, all_cols, payload_cols, site_col, time_col,
             zone = (c_tus - head_us) <= R_US
 
             # --- duplicate detection: hash-group diff + exact confirm
-            h = hash_pandas_object(comb[list(payload_cols)], index=False).to_numpy()
             pay_arrays = [comb[c].to_numpy() for c in payload_cols]
+            h = _payload_hash(pay_arrays, n)
             dup = _dup_flags(seg, c_tus, h, pay_arrays, R_US)
 
             # tie index within equal (site, time, payload) groups —
