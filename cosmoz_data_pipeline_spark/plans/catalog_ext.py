@@ -877,18 +877,61 @@ def _simhash_band_rows(
     )
 
 
+# Round-14 A/B hook (VERDICT r13 task 3, carried from r12): post-
+# sigkernel, the band SELF-JOIN is x_dedup_simhash_pairs' largest
+# remaining stage (~100 s stage-probe capture at x1000, 3.97 GB
+# shuffle, SIMHASH_PAIRS_STAGES.json). The PRE-AGG variant replaces
+# join-then-distinct with groupBy(band_idx, band_val) →
+# partial-aggregated id lists → in-group pair expansion: the exchange
+# carries each doc_id once per combo key with the key stored once per
+# GROUP instead of once per row (fewer bytes — the direction
+# SIMHASH_FUSED_AB proved decisive), there is no second join input to
+# sort, and singleton buckets die map-side-combined before the pair
+# stage. Skew note: a pathologically hot band value becomes one large
+# in-memory list instead of an AQE-splittable SMJ bucket — the Manku
+# key widths (24-40 bits) keep buckets small by design, and the
+# joined fallback remains one flag away. None = joined (shipped)
+# until the interleaved x1000 A/B adjudicates
+# (tools/simhash_preagg_ab.py → SIMHASH_PREAGG_AB.json); identity
+# pinned variant-vs-variant by tests/test_simhash_wide_blocks.py.
+SIMHASH_PREAGG_CANDS: bool | None = None
+
+
 def _simhash_combo_cands(
     sigs: DataFrame, n_docs: int, wide: bool | None = None
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates from the Manku WWW'07
     multi-block blocking over a (doc_id, s0..s3) SimHash table, one
-    equi-join on (band_idx, band_val). The block scheme is CORPUS-
-    SCALED via ``n_docs`` (see SIMHASH_WIDE_N); both schemes are
-    complete for Hamming <= 3 and the verify filter is exact, so the
-    final pair set is identical whichever is active (pinned by
+    equi-join (or grouped pair expansion, SIMHASH_PREAGG_CANDS) on
+    (band_idx, band_val). The block scheme is CORPUS-SCALED via
+    ``n_docs`` (see SIMHASH_WIDE_N); both schemes are complete for
+    Hamming <= 3 and the verify filter is exact, so the final pair
+    set is identical whichever is active (pinned by
     tests/test_lsh_properties.py + tests/test_simhash_wide_blocks.py).
     ``wide`` overrides the threshold for tests."""
     bands = _simhash_band_rows(sigs, n_docs, wide)
+    preagg = bool(SIMHASH_PREAGG_CANDS) if SIMHASH_PREAGG_CANDS is not None else False
+    if preagg:
+        srt = F.array_sort(F.collect_list("doc_id"))
+        grp = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(srt.alias("__ids"))
+            .where(F.size("__ids") >= 2)
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        return (
+            grp.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a"), F.col("p.doc_b"))
+            .distinct()
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

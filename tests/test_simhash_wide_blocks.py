@@ -97,3 +97,39 @@ def test_fused_verify_row_identity(spark, sf_dir):
             ce.SIMHASH_WIDE_N = orig_wide
     finally:
         CE.SIMHASH_FUSED_VERIFY = shipped
+
+
+def test_preagg_cands_pair_identity(spark, sf_dir):
+    """SIMHASH_PREAGG_CANDS is a physical reshape only: grouped
+    id-list pair expansion must produce exactly the joined shape's
+    candidate pair set — both blocking schemes — and the verified
+    pairs must match too."""
+    from cosmoz_data_pipeline_spark.plans import catalog_ext as CE
+
+    shipped = CE.SIMHASH_PREAGG_CANDS
+    try:
+        sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
+        n = _docs_aug_count(spark, sf_dir)
+        for wide in (False, True):
+            CE.SIMHASH_PREAGG_CANDS = False
+            joined = {
+                (r.doc_a, r.doc_b)
+                for r in _simhash_combo_cands(sigs, n, wide=wide).collect()
+            }
+            CE.SIMHASH_PREAGG_CANDS = True
+            grouped = {
+                (r.doc_a, r.doc_b)
+                for r in _simhash_combo_cands(sigs, n, wide=wide).collect()
+            }
+            assert joined and joined == grouped, (
+                f"wide={wide}: joined-only={sorted(joined - grouped)[:5]} "
+                f"grouped-only={sorted(grouped - joined)[:5]}"
+            )
+            v_j = _verified_pairs(_simhash_combo_cands(sigs, n, wide=wide), sigs)
+            CE.SIMHASH_PREAGG_CANDS = False
+            assert _verified_pairs(
+                _simhash_combo_cands(sigs, n, wide=wide), sigs
+            ) == v_j
+    finally:
+        CE.SIMHASH_PREAGG_CANDS = shipped
+        release_persists()
