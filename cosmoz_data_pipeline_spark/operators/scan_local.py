@@ -252,7 +252,12 @@ def _make_kernel(paths, all_cols, payload_cols, site_col, time_col,
 
 
         path = paths[fid]
-        pf = pq.ParquetFile(_local_path(path))
+        # coerce INT96 (Spark's legacy parquet timestamp) to MICROsecond
+        # unit: pyarrow's default nanosecond coercion silently WRAPS
+        # timestamps past 2262-04-11 (the int64-ns horizon) — the x1000
+        # corpus runs centuries past it, and a wrapped value reads as a
+        # spurious layout violation (or worse, a wrong lag)
+        pf = pq.ParquetFile(_local_path(path), coerce_int96_timestamp_unit="us")
         carry = None  # trailing-29-min frame of the last site run
         last_site = None
         last_time_us = None

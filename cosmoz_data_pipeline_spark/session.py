@@ -257,6 +257,15 @@ def build_session(
         # At production scale input splits >> cores and this is inert.
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet timestamps as TIMESTAMP_MICROS, not the deprecated
+        # INT96 default: µs is Spark's own internal precision, every
+        # engine (DuckDB, pyarrow) reads it natively, and pyarrow's
+        # INT96 path coerces to NANOSECONDS whose int64 horizon ends
+        # 2262-04-11 — long-horizon timestamps (the x1000 corpus spans
+        # centuries) silently WRAP on read (round 14; the scan-local
+        # kernel additionally pins coerce_int96_timestamp_unit for
+        # foreign INT96 files)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
