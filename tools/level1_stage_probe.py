@@ -55,6 +55,16 @@ def _raw(spark, sf_dir):
     return load_domain(spark, sf_dir)["raw_values"]
 
 
+def _sink(sf_dir):
+    """The materialized layout-contracted raw sink for the scan-local
+    stages (built by tools/level1_scanlocal_ab.ensure_sink); scan-local
+    cells are skipped when absent."""
+    import os
+
+    path = f"{sf_dir}_rawsink"
+    return path if os.path.exists(os.path.join(path, "_sink_meta.json")) else None
+
+
 def _with_prev(raw):
     # the shipped at-scale lag shape (LEVEL1_SEQ_BUCKETED auto)
     return bucketed_lag(raw, ["site_no"], "time", ["count"], ["prev_count"])
@@ -126,6 +136,65 @@ def main() -> None:
         _timed(spark, rec, "lag", lambda: _with_prev(_raw(spark, d)))
         _timed(spark, rec, "dupw", lambda: _dup_flagged(_raw(spark, d)))
         _timed(spark, rec, "l1", lambda: levels.raw_to_level1(_raw(spark, d)))
+        # round 14: scan-local stages over the materialized sink
+        # (operators/scan_local.py, LEVEL1_SCANLOCAL_AB.json) — the
+        # window-shape prefixes above read the derived view; these read
+        # the sink, so compare sl_* only against each other and the A
+        # column of the A/B artifact (same input files)
+        sink = _sink(d)
+        if sink is not None:
+            from cosmoz_data_pipeline_spark.operators import scan_local as sl
+
+            def _sl_kernel():
+                # main per-file pass only (no stitch/fix joins)
+                src = spark.read.parquet(sink)
+                files = sorted(src.inputFiles())
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    list(src.schema.fields)
+                    + [
+                        T.StructField("prev_count", T.LongType()),
+                        T.StructField("is_duplicate", T.BooleanType()),
+                        T.StructField("__fp", T.LongType()),
+                        T.StructField("__head", T.BooleanType()),
+                        T.StructField("__zone", T.BooleanType()),
+                        T.StructField("__tie", T.IntegerType()),
+                    ]
+                )
+                kernel = sl._make_kernel(
+                    files,
+                    [f.name for f in src.schema.fields],
+                    list(levels.RAW_PAYLOAD),
+                    "site_no",
+                    "time",
+                    "count",
+                    131072,
+                )
+                ids = spark.range(0, len(files), 1, numPartitions=len(files))
+                return ids.mapInPandas(kernel, schema=schema)
+
+            _timed(spark, rec, "sl_kernel", _sl_kernel)
+            _timed(
+                spark,
+                rec,
+                "sl_flags",
+                lambda: sl.scan_local_raw_flags(
+                    spark, sink, levels.RAW_PAYLOAD
+                ),
+            )
+            _timed(
+                spark,
+                rec,
+                "sl_l1",
+                lambda: levels.raw_to_level1_scan_local(spark, sink),
+            )
+            _timed(
+                spark,
+                rec,
+                "sink_read_l1",
+                lambda: levels.raw_to_level1(spark.read.parquet(sink)),
+            )
         rec["sentinel_sec"] = snt
         if io_pre is not None:
             io_post = io_sentinel_sec(spark)
