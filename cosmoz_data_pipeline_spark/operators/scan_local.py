@@ -68,7 +68,20 @@ O(#files); the Python leg is Arrow-batched and scan-local, so it
 scales with executors instead of fighting a 22-key sort. Adoption is
 measured, not assumed — tools/level1_scanlocal_ab.py interleaves this
 shape against the shipped bucketed-window shape at x1000
-(LEVEL1_SCANLOCAL_AB.json).
+(LEVEL1_SCANLOCAL_AB.json: 5/6 interleaved pass wins, 0.3 MB vs
+13.13 GB shuffle, identity at 86.8M rows).
+
+Known residual (LEVEL1_STAGES.json r14, healthy window): of sl_l1's
+30.3 s at x1000, the per-file kernel is only 7.5 s — the zone-fix's
+SECOND full-width decode (the JVM scan feeding the exact cross-file
+duplicate confirm) plus the slim stitch scan carry most of the rest.
+The named lever, deliberately not taken this round: the sink writer
+controls parquet row-group size, so a paths-driven zone extraction
+could prune to just the row groups intersecting the per-(site, file)
+boundary windows (~50x less second-pass decode at 8 MB row groups);
+pyarrow prunes at row-group granularity only, so the win requires the
+writer's cooperation and degrades gracefully to today's cost on
+foreign coarse-row-group files.
 """
 
 from __future__ import annotations
