@@ -91,20 +91,43 @@ from pyspark.sql import functions as F
 
 DUP_WINDOW_SECS = 29 * 60
 
+# Round-14 optimization hook: when True (the default via None=auto),
+# the duplicate zone fix and the boundary stitch read their rows from
+# a second per-file mapInPandas kernel that prunes to just the parquet
+# ROW GROUPS intersecting each (site, file)'s head/tail 29-min windows
+# (guide §6: make pruning reach the scan; §2.3: decide with small
+# rows) — instead of a second full-width JVM decode of the whole sink
+# plus a third slim (site, time, count) pass. False forces the
+# round-13 full-scan shape for interleaved A/B
+# (tools/level1_zonerg_ab.py → LEVEL1_ZONERG_AB.json). Files whose
+# row-group statistics are missing degrade per-file to a whole-file
+# read inside the kernel — never to a wrong answer.
+SCANLOCAL_BOUNDARY_KERNEL: bool | None = None
+
+# Row-group size write_time_tiled asks of the parquet writer. Small
+# row groups are what make the boundary kernel's pruning effective
+# (zone windows are 29 min; a default 128 MB row group usually spans
+# the whole file and prunes nothing). 8 MiB keeps footer overhead
+# trivial while giving ~16x pruning granularity per 128 MB of file.
+TILE_ROWGROUP_BYTES = 8 * 1024 * 1024
+
 
 def write_time_tiled(
     df: DataFrame, path: str, n_files: int, site_col: str = "site_no",
-    time_col: str = "time",
+    time_col: str = "time", rowgroup_bytes: int = TILE_ROWGROUP_BYTES,
 ) -> None:
     """Write ``df`` as the layout-contracted parquet this module
     scans: ``n_files`` range-partitioned files, each sorted by
     (site, time). Range partitioning keeps every site's timeline a
     disjoint ordered tiling across files and never splits equal
-    (site, time) keys across two files."""
+    (site, time) keys across two files. ``rowgroup_bytes`` bounds the
+    parquet row-group size so the boundary kernel can prune the zone
+    read to the row groups that matter (see module docstring)."""
     (
         df.repartitionByRange(n_files, F.col(site_col), F.col(time_col))
         .sortWithinPartitions(site_col, time_col)
         .write.mode("overwrite")
+        .option("parquet.block.size", str(int(rowgroup_bytes)))
         .parquet(path)
     )
 
@@ -397,6 +420,151 @@ def _make_kernel(paths, all_cols, payload_cols, site_col, time_col,
     return kernel
 
 
+def _stat_us(v) -> int:
+    """Parquet column-statistics timestamp → int64 epoch MICROseconds,
+    int-exact (pd.Timestamp would overflow at the ns horizon the µs
+    coercion exists to avoid)."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        d = v - epoch
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    return int(v)
+
+
+def _make_boundary_kernel(paths, all_cols, site_col, time_col):
+    """Per-file kernel emitting ONLY the zone rows the stitch and the
+    duplicate zone fix need: for every (site, file), rows within
+    29 min of the site's in-file head or tail. Reads row-group
+    statistics from the footer, decodes the row groups that hold each
+    site's head/tail (plus any whose time range intersects the
+    29-min windows), and filters exactly per row — O(#boundary row
+    groups) decode instead of a full second pass over the sink.
+    Emits ``__hs``/``__ts`` (head/tail floor-seconds per (site,
+    file)) so no bounds join is needed downstream. Degrades per-file
+    to a whole-file read when statistics are missing; the per-row
+    filter keeps the emitted set EXACTLY the set the full-scan shape
+    selects (same floor-second arithmetic as Spark's
+    ``cast(time as long)``; corpus timestamps are post-1970 so floor
+    == Spark's truncation)."""
+    R_S = DUP_WINDOW_SECS
+
+    def kernel(id_batches):
+        for id_pdf in id_batches:
+            for fid in id_pdf["id"].tolist():
+                out = _one(int(fid))
+                if out is not None and len(out):
+                    yield out
+
+    def _one(fid):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = paths[fid]
+        pf = pq.ParquetFile(_local_path(path), coerce_int96_timestamp_unit="us")
+        md = pf.metadata
+        nrg = md.num_row_groups
+        if nrg == 0 or md.num_rows == 0:
+            return None
+        names = [md.schema.column(i).path for i in range(md.num_columns)]
+        try:
+            si, ti = names.index(site_col), names.index(time_col)
+        except ValueError:
+            si = -1
+        stats = []
+        if si >= 0:
+            for g in range(nrg):
+                rg = md.row_group(g)
+                cs = rg.column(si).statistics
+                ct = rg.column(ti).statistics
+                if (
+                    cs is None or ct is None
+                    or not cs.has_min_max or not ct.has_min_max
+                ):
+                    stats = None
+                    break
+                stats.append(
+                    (cs.min, cs.max, _stat_us(ct.min), _stat_us(ct.max))
+                )
+        else:
+            stats = None
+
+        if stats is None:
+            groups = list(range(nrg))  # degrade: whole file, still exact
+        else:
+            smin = [s[0] for s in stats]
+            smax = [s[1] for s in stats]
+            # a row group holds some site's in-file HEAD row iff it is
+            # the file's first, follows a different site, or spans >1
+            # site (then it holds every interior site's head); TAIL
+            # symmetric. Contract 1 makes each site contiguous in-file.
+            bset = set()
+            for g in range(nrg):
+                if g == 0 or smax[g - 1] != smin[g] or smin[g] != smax[g]:
+                    bset.add(g)
+                if g == nrg - 1 or smin[g + 1] != smax[g] or smin[g] != smax[g]:
+                    bset.add(g)
+            groups = sorted(bset)
+        tbl = pf.read_row_groups(groups, columns=list(all_cols))
+        pdf = tbl.to_pandas()
+        site = pdf[site_col].to_numpy()
+        tus = _tus(pdf[time_col])
+
+        # exact per-site head/tail: the true head/tail rows are in the
+        # boundary row groups by construction
+        s_ser = pd.Series(tus)
+        grp = s_ser.groupby(pd.Series(site), sort=False)
+        h_us = grp.min()
+        t_us = grp.max()
+
+        if stats is not None and len(groups) < nrg:
+            # extra row groups whose time range can intersect a zone
+            # window (±1 s slack over the floor-second predicate);
+            # multi-site row groups are already boundary row groups,
+            # so extras are single-site — the site test is exact
+            have = set(groups)
+            extras = []
+            for g in range(nrg):
+                if g in have:
+                    continue
+                lo = stats[g][2] // 1_000_000 - 1
+                hi = stats[g][3] // 1_000_000 + 1
+                for s, hv in h_us.items():
+                    if not (smin[g] <= s <= smax[g]):
+                        continue
+                    hs = hv // 1_000_000
+                    ts = t_us[s] // 1_000_000
+                    if (lo <= hs + R_S and hi >= hs) or (
+                        lo <= ts and hi >= ts - R_S
+                    ):
+                        extras.append(g)
+                        break
+            if extras:
+                t2 = pf.read_row_groups(sorted(extras), columns=list(all_cols))
+                pdf = pa.concat_tables([tbl, t2]).to_pandas()
+                site = pdf[site_col].to_numpy()
+                tus = _tus(pdf[time_col])
+
+        # exact zone predicate, floor-second arithmetic == Spark's
+        # cast(time as long) used by the full-scan shape
+        hs_map = (h_us // 1_000_000).to_dict()
+        ts_map = (t_us // 1_000_000).to_dict()
+        hs_row = pd.Series(site).map(hs_map).to_numpy(dtype=np.int64)
+        ts_row = pd.Series(site).map(ts_map).to_numpy(dtype=np.int64)
+        row_s = tus // 1_000_000
+        keep = (row_s <= hs_row + R_S) | (row_s >= ts_row - R_S)
+        out = pdf.iloc[np.flatnonzero(keep)].copy()
+        out["__fp"] = np.int64(fid)
+        out["__hs"] = hs_row[keep]
+        out["__ts"] = ts_row[keep]
+        return out
+
+    return kernel
+
+
 def scan_local_raw_flags(
     spark: SparkSession,
     path: str,
@@ -442,32 +610,63 @@ def scan_local_raw_flags(
     ids = spark.range(0, n_files, 1, numPartitions=n_files)
     main = ids.mapInPandas(kernel, schema=out_schema)
 
-    # --- boundary stitch (tiny): one row per (site, file) ------------
+    use_bk = (
+        bool(SCANLOCAL_BOUNDARY_KERNEL)
+        if SCANLOCAL_BOUNDARY_KERNEL is not None
+        else True
+    )
     secs = F.col(time_col).cast("long")
-    pmap = F.broadcast(
-        spark.createDataFrame(
-            [(i, _local_path(p)) for i, p in enumerate(files)],
-            "`__fp` long, `__fpath` string",
+
+    def _persist(df):
+        try:  # lazy import: plans imports operators at package load
+            from ..plans.registry import scoped_persist
+
+            return scoped_persist(df)
+        except Exception:  # pragma: no cover - registry unavailable
+            return df.persist()
+
+    if use_bk:
+        # --- boundary kernel (round 14): the stitch aggregate AND the
+        # zone rows come from one row-group-pruned per-file pass; no
+        # second full-width decode, no third slim scan
+        # (LEVEL1_ZONERG_AB.json). The head/tail rows of every (site,
+        # file) are zone rows by construction, so the aggregate
+        # derived from zone rows is exactly the full-scan aggregate.
+        zschema = T.StructType(
+            list(src.schema.fields)
+            + [
+                T.StructField("__fp", T.LongType()),
+                T.StructField("__hs", T.LongType()),
+                T.StructField("__ts", T.LongType()),
+            ]
         )
-    )
-    slim = src.select(
-        site_col, time_col, count_col, _fpath_col().alias("__fpath")
-    )
-    agg = (
-        slim.groupBy(site_col, "__fpath")
-        .agg(
+        bkernel = _make_boundary_kernel(files, all_cols, site_col, time_col)
+        zrows = _persist(ids.mapInPandas(bkernel, schema=zschema))
+        agg = zrows.groupBy(site_col, "__fp").agg(
             F.min(time_col).alias("__head_t"),
             F.max(time_col).alias("__tail_t"),
             F.max_by(count_col, secs).alias("__tail_count"),
         )
-        .join(pmap, "__fpath", "left")
-    )
-    try:  # lazy import: plans imports operators at package load
-        from ..plans.registry import scoped_persist
-
-        agg = scoped_persist(agg)
-    except Exception:  # pragma: no cover - registry unavailable
-        agg = agg.persist()
+    else:
+        # --- round-13 full-scan shape, kept for interleaved A/B ------
+        pmap = F.broadcast(
+            spark.createDataFrame(
+                [(i, _local_path(p)) for i, p in enumerate(files)],
+                "`__fp` long, `__fpath` string",
+            )
+        )
+        slim = src.select(
+            site_col, time_col, count_col, _fpath_col().alias("__fpath")
+        )
+        agg = _persist(
+            slim.groupBy(site_col, "__fpath")
+            .agg(
+                F.min(time_col).alias("__head_t"),
+                F.max(time_col).alias("__tail_t"),
+                F.max_by(count_col, secs).alias("__tail_count"),
+            )
+            .join(pmap, "__fpath", "left")
+        )
     w_site = Window.partitionBy(site_col).orderBy("__head_t")
     patch = agg.select(
         site_col,
@@ -481,11 +680,15 @@ def scan_local_raw_flags(
         # contract 2+3: per-site file ranges strictly disjoint (ties
         # straddling files would make the zone fix nondeterministic
         # against the single-window shape — refuse, don't guess);
-        # plus path-canonicalization coverage: every scanned file must
-        # resolve to a kernel file index or the stitch is silently
-        # incomplete (the exact bug class _fpath_col guards)
+        # plus, full-scan shape only, path-canonicalization coverage:
+        # every scanned file must resolve to a kernel file index or
+        # the stitch is silently incomplete (the exact bug class
+        # _fpath_col guards; the boundary kernel indexes files
+        # directly, so there the mismatch is structurally impossible)
         bad = patch.where(F.col("__prev_tail_t") >= F.col("__head_t")).count()
-        unmapped = agg.where(F.col("__fp").isNull()).count()
+        unmapped = (
+            0 if use_bk else agg.where(F.col("__fp").isNull()).count()
+        )
         if unmapped:
             raise ValueError(
                 f"scan_local: {unmapped} (site, file) groups under {path} "
@@ -527,18 +730,24 @@ def scan_local_raw_flags(
     # between that predecessor and the row is within R too, hence
     # also in S).
     R = DUP_WINDOW_SECS
-    bounds = F.broadcast(
-        agg.select(
-            site_col, "__fpath",
-            F.col("__head_t").cast("long").alias("__hs"),
-            F.col("__tail_t").cast("long").alias("__ts"),
+    if use_bk:
+        # kernel zone rows already carry per-row __hs/__ts and are
+        # exactly the set the full-scan join-and-filter below selects
+        # (per-row keep filter in _make_boundary_kernel)
+        zones = zrows
+    else:
+        bounds = F.broadcast(
+            agg.select(
+                site_col, "__fpath",
+                F.col("__head_t").cast("long").alias("__hs"),
+                F.col("__tail_t").cast("long").alias("__ts"),
+            )
         )
-    )
-    zones = (
-        src.select(*all_cols, _fpath_col().alias("__fpath"))
-        .join(bounds, [site_col, "__fpath"])
-        .where((secs <= F.col("__hs") + R) | (secs >= F.col("__ts") - R))
-    )
+        zones = (
+            src.select(*all_cols, _fpath_col().alias("__fpath"))
+            .join(bounds, [site_col, "__fpath"])
+            .where((secs <= F.col("__hs") + R) | (secs >= F.col("__ts") - R))
+        )
     pay = F.struct(*[F.col(c) for c in payload_cols])
     dupw = Window.partitionBy(
         F.xxhash64(site_col, *payload_cols), site_col

@@ -209,3 +209,38 @@ def test_dup_flags_matches_real_hash_path():
     a = _dup_flags(seg, t, h_real, pay, R_US)
     b = _dup_flags(seg, t, h_fake, pay, R_US)
     assert (a == b).all() and a.any()
+
+
+def test_scan_local_boundary_kernel_identity_and_pruning(spark, tmp_path):
+    """Round-14 boundary kernel (row-group-pruned zone read) vs the
+    round-13 full-scan zone shape: identical level1 rows on (a) the
+    domain corpus at default row groups and (b) a tiny forced
+    row-group size so each file holds MANY row groups and the pruning
+    + extras logic actually exercises (at the default 8 MiB the small
+    corpus gives one group per file and pruning is trivial)."""
+    from cosmoz_data_pipeline_spark.operators import scan_local as sl
+
+    raw = load_domain(spark, SF_DIR)["raw_values"]
+    # 2 files in the tiny case: parquet-mr only checks row-group size
+    # every ~100 records, so files need enough rows to split often
+    for tag, n_files, rg_bytes in (
+        ("default", 8, sl.TILE_ROWGROUP_BYTES), ("tiny", 2, 2048)
+    ):
+        path = str(tmp_path / f"sink_{tag}")
+        write_time_tiled(raw, path, n_files, rowgroup_bytes=rg_bytes)
+        if tag == "tiny":
+            import pyarrow.parquet as pq
+
+            nrg = [
+                pq.ParquetFile(f"{path}/{f}").metadata.num_row_groups
+                for f in __import__("os").listdir(path)
+                if f.endswith(".parquet")
+            ]
+            assert max(nrg) > 4, f"row groups not split: {nrg}"
+        try:
+            sl.SCANLOCAL_BOUNDARY_KERNEL = False
+            base = _rows(levels.raw_to_level1_scan_local(spark, path))
+        finally:
+            sl.SCANLOCAL_BOUNDARY_KERNEL = None
+        assert base
+        assert _rows(levels.raw_to_level1_scan_local(spark, path)) == base

@@ -1,29 +1,28 @@
-"""Interleaved A/B at scale: shipped level1 window shapes vs the
-scan-local per-file shape (round 14, VERDICT r13 tasks 1-2).
+"""Interleaved A/B at scale: scan-local level1 with the round-13
+full-scan duplicate-zone read vs the round-14 row-group-pruned
+boundary kernel (guide §6 make pruning reach the scan, §2.3 decide
+with small rows).
 
-Question: LEVEL1_STAGES.json shows level1's x1000 wall is dominated by
-two full-width exchanges — the bucketed (site, week) prev_count lag
-(+57 s, ~5.3 GB shuffle write) and the hash-prefixed 29-min duplicate
-window (+16 s, cumulative 13.6 GB) — both shuffling all 17 payload
-columns to compute per-row sequence values. The scan-local shape
-(operators/scan_local.py) computes both inside the scan over the
-layout-contracted raw sink, leaving only a per-(site, file) boundary
-stitch; its cost center moves from shuffle to the Arrow/pandas kernel.
+Question: LEVEL1_STAGES.json (r14 capture, healthy window) shows the
+scan-local shape's x1000 wall is NOT in the per-file kernel (7.5 of
+30.3 s) — it is in the duplicate zone fix's SECOND full-width JVM
+decode of the whole sink plus a third slim (site, time, count) stitch
+scan. The boundary kernel (operators/scan_local.py,
+SCANLOCAL_BOUNDARY_KERNEL) replaces both with one per-file pyarrow
+pass that reads ONLY the row groups intersecting each (site, file)'s
+head/tail 29-min windows (the sink writer now emits 8 MiB row groups
+so pruning has granularity), emitting the exact zone-row set plus the
+per-(site, file) head/tail aggregate.
 
-Fairness: BOTH variants read the SAME materialized sink files (the
-deployment reality — the level pipeline reads raw from the sink, and
-the sink's writer already guarantees the layout). The sink is built
-once per corpus and reused behind a generator-version marker.
+Protocol: per corpus, identity first (count + bit_xor(xxhash64(*))
+equal between shapes), then N interleaved repeats of
+A = raw_to_level1_scan_local with SCANLOCAL_BOUNDARY_KERNEL=False
+(r13 shape) and B = with True (r14 kernel), each noop-forced cold,
+with per-run shuffle/spill bytes, cpu sentinel normalization and
+io-sentinel brackets on >=x1000. Both read the SAME sink files.
 
-Protocol: per corpus, identity first (count + bit_xor of xxhash64 over
-every output column must be equal), then N interleaved repeats of
-A = raw_to_level1(read(sink)) under the shipped auto gates and
-B = raw_to_level1_scan_local(sink), each noop-forced cold, with
-per-run shuffle/spill byte counters, cpu sentinel normalization and
-io-sentinel brackets on >=x1000 (r13 window classifier).
-
-Usage: python tools/level1_scanlocal_ab.py [dir:mult ...]
-Writes LEVEL1_SCANLOCAL_AB.json at the repo root.
+Usage: python tools/level1_zonerg_ab.py [dir:mult ...]
+Writes LEVEL1_ZONERG_AB.json at the repo root.
 """
 
 from __future__ import annotations
@@ -38,10 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from cosmoz_data_pipeline_spark.domain import levels  # noqa: E402
-from cosmoz_data_pipeline_spark.domain.synth import load_domain  # noqa: E402
-from cosmoz_data_pipeline_spark.operators.scan_local import (  # noqa: E402
-    write_time_tiled,
-)
+from cosmoz_data_pipeline_spark.operators import scan_local as sl  # noqa: E402
 from cosmoz_data_pipeline_spark.sentinel import (  # noqa: E402
     SENTINEL_REF_SEC,
     io_sentinel_sec,
@@ -49,8 +45,8 @@ from cosmoz_data_pipeline_spark.sentinel import (  # noqa: E402
     sentinel_sec,
 )
 from cosmoz_data_pipeline_spark.session import build_session  # noqa: E402
+from tools.level1_scanlocal_ab import ensure_sink  # noqa: E402
 from tools.scale_bench import _cold, _metrics_since, _stage_hwm  # noqa: E402
-from tools.scale_corpus import GENERATOR_VERSION  # noqa: E402
 
 DEFAULT_CORPORA = (
     ("/tmp/cosmoz_scale_x100", 100, 64),
@@ -59,37 +55,12 @@ DEFAULT_CORPORA = (
 REPEATS = 3
 
 
-def ensure_sink(spark, sf_dir: str, mult: int, n_files: int) -> str:
-    from cosmoz_data_pipeline_spark.operators.scan_local import (
-        TILE_ROWGROUP_BYTES,
-    )
-
-    sink = f"{sf_dir}_rawsink"
-    marker = os.path.join(sink, "_sink_meta.json")
-    want = {
-        "generator_version": GENERATOR_VERSION,
-        "mult": mult,
-        "n_files": n_files,
-        "rowgroup_bytes": TILE_ROWGROUP_BYTES,
-    }
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if json.load(f) == want:
-                return sink
-    print(f"materializing raw sink {sink} ({n_files} files)...", flush=True)
-    raw = load_domain(spark, sf_dir)["raw_values"]
-    t0 = time.time()
-    write_time_tiled(raw, sink, n_files)
-    print(f"  sink written in {time.time() - t0:.1f}s", flush=True)
-    with open(marker, "w") as f:
-        json.dump(want, f)
-    return sink
-
-
 def _variant(spark, which: str, sink: str):
-    if which == "A":
-        return levels.raw_to_level1(spark.read.parquet(sink))
-    return levels.raw_to_level1_scan_local(spark, sink)
+    sl.SCANLOCAL_BOUNDARY_KERNEL = which == "B"
+    try:
+        return levels.raw_to_level1_scan_local(spark, sink)
+    finally:
+        sl.SCANLOCAL_BOUNDARY_KERNEL = None
 
 
 def _fingerprint(spark, sink: str, which: str):
@@ -119,26 +90,23 @@ def _timed(spark, sink: str, which: str):
 def main() -> None:
     args = sys.argv[1:]
     corpora = (
-        [
-            (a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1]), 256)
-            for a in args
-        ]
+        [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1]), 256) for a in args]
         if args
         else list(DEFAULT_CORPORA)
     )
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = build_session(
-        app_name="level1-scanlocal-ab", extra_conf={"spark.ui.enabled": "true"}
+        app_name="level1-zonerg-ab", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = {
-        "metric": "level1_scanlocal_ab",
+        "metric": "level1_zonerg_ab",
         "unit": "sec",
         "policy": f"interleaved A/B, {REPEATS} repeats, noop-forced cold; "
-        "A = shipped raw_to_level1 over the sink read (auto gates: "
-        "bucketed (site, week) lag + hash-prefixed dup window at scale); "
-        "B = scan-local per-file shape; both variants read the SAME "
-        "materialized layout-contracted sink; identity pinned per corpus "
+        "A = raw_to_level1_scan_local with SCANLOCAL_BOUNDARY_KERNEL=False "
+        "(r13 full-scan zone read + slim stitch scan); B = True (r14 "
+        "row-group-pruned boundary kernel); both read the SAME 8 MiB-"
+        "row-group sink; identity pinned per corpus "
         "(count + bit_xor(xxhash64(*)) equal)",
         "sentinel_ref_sec": SENTINEL_REF_SEC,
         "corpora": {},
@@ -181,7 +149,7 @@ def main() -> None:
         out["corpora"][f"x{mult}"] = rec
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "LEVEL1_SCANLOCAL_AB.json",
+        "LEVEL1_ZONERG_AB.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
