@@ -890,10 +890,25 @@ def _simhash_band_rows(
 # stage. Skew note: a pathologically hot band value becomes one large
 # in-memory list instead of an AQE-splittable SMJ bucket — the Manku
 # key widths (24-40 bits) keep buckets small by design, and the
-# joined fallback remains one flag away. None = joined (shipped)
-# until the interleaved x1000 A/B adjudicates
-# (tools/simhash_preagg_ab.py → SIMHASH_PREAGG_AB.json); identity
-# pinned variant-vs-variant by tests/test_simhash_wide_blocks.py.
+# joined fallback remains one flag away.
+#
+# MEASURED OUT round 14 (SIMHASH_PREAGG_AB.json, interleaved,
+# identity pinned both corpora): at x100 the pre-agg wins both
+# currencies (wall 15.04→11.73 s best-of-3, 3/3 pass wins; shuffle
+# 454→225 MB), but at the DECISIVE x1000 decade — captured in a
+# flagged-HEALTHY io window (brackets 6.89/6.35 s) — it loses wall
+# 1.38x (best 60.9 vs 84.0 s, joined wins 2/3 passes, consistent
+# 1.38-1.43x within-pass) while shipping -42% bytes (5.20 → 3.02 GB).
+# Per-decade exponents say why: the grouped expansion's Catalyst
+# array transform (transform x slice x flatten struct allocation)
+# grows at alpha=0.86 vs the SMJ's 0.61, overtaking the byte saving
+# on the wall clock. Adjudication follows the repo's precedent
+# hierarchy: bytes break wall TIES (SIMHASH_FUSED_AB r13); a clear
+# wall loss at the decisive decade is not a tie, and the saved bytes
+# (~12 MB per reduce task at x1000) are far below the regime where
+# network currency outweighs compute. None = joined (shipped);
+# identity pinned variant-vs-variant by
+# tests/test_simhash_wide_blocks.py.
 SIMHASH_PREAGG_CANDS: bool | None = None
 
 
