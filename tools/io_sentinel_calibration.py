@@ -36,17 +36,37 @@ HISTORY = {
 def _walk(obj, path=""):
     """Yield (path, pre, post) for every {pre, post} io bracket pair
     found under the common artifact shapes."""
+    def _num(v):
+        # bools are ints in Python; exclude them along with any
+        # non-numeric value (ADVICE r14: a dict that merely CONTAINS
+        # 'pre'/'post' keys with non-numeric values crashed sorted()
+        # downstream and suppressed recursion under those keys)
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
     if isinstance(obj, dict):
-        if "pre" in obj and "post" in obj:
-            yield path, obj.get("pre"), obj.get("post")
-        if "io_sentinel_pre_sec" in obj or "io_sentinel_post_sec" in obj:
+        consumed: set[str] = set()
+        if _num(obj.get("pre")) or _num(obj.get("post")):
             yield (
                 path,
-                obj.get("io_sentinel_pre_sec"),
-                obj.get("io_sentinel_post_sec"),
+                obj.get("pre") if _num(obj.get("pre")) else None,
+                obj.get("post") if _num(obj.get("post")) else None,
             )
+            consumed |= {"pre", "post"}
+        if _num(obj.get("io_sentinel_pre_sec")) or _num(
+            obj.get("io_sentinel_post_sec")
+        ):
+            yield (
+                path,
+                obj.get("io_sentinel_pre_sec")
+                if _num(obj.get("io_sentinel_pre_sec"))
+                else None,
+                obj.get("io_sentinel_post_sec")
+                if _num(obj.get("io_sentinel_post_sec"))
+                else None,
+            )
+            consumed |= {"io_sentinel_pre_sec", "io_sentinel_post_sec"}
         for k, v in obj.items():
-            if k in ("pre", "post", "io_sentinel_pre_sec", "io_sentinel_post_sec"):
+            if k in consumed:  # only skip keys actually taken as samples
                 continue
             yield from _walk(v, f"{path}/{k}" if path else k)
 
