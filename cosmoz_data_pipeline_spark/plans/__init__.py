@@ -56,6 +56,10 @@ _TAIL = [
     # recorded `level1` (which stays the driver-attested entry); this
     # view pins the scan-local physical shape to strict oracle parity
     "level1_scan_local",
+    # round 15: the full level1→level4 chain over the sink with the
+    # scan-local prefix (LEVEL4_SCANLOCAL_AB adoption) — same oracle
+    # as the recorded `level4`
+    "level4_scan_local",
 ]
 _ordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 _ordered.update(

@@ -90,6 +90,42 @@ def q_level1_scan_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "level4_scan_local",
+    oracles.LEVEL4_ORACLE,
+    doc="The full level1→level4 chain over the layout-contracted raw sink "
+    "with the scan-local level1 prefix (round 15, VERDICT r14 task 1): "
+    "ADOPTED on LEVEL4_SCANLOCAL_AB.json — interleaved x1000, identity "
+    "pinned at 30.79M rows, B wins 3/3 pairs (best 114.9→104.9 s) in a "
+    "flagged-HEALTHY io window with chain shuffle 20.37→6.67 GiB (-67%). "
+    "Same oracle as level4: the physical reshape must be row-for-row "
+    "invisible.",
+)
+def q_level4_scan_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_streaming import _detach, _scratch
+
+    d = load_domain(spark, sf_dir)
+    scratch = _scratch("l4sl")
+    sink = f"{scratch}/raw_sink"
+    # 16 files keeps per-site file spans near the 29-min window at the
+    # small SFs, so boundary stitch + zone fix fire constantly under
+    # the oracle gate (the at-scale A/B uses 64/256 files)
+    from ..operators.scan_local import write_time_tiled
+
+    write_time_tiled(d["raw_values"], sink, n_files=16)
+    l4 = levels.run_pipeline_scan_local(
+        spark, sink, d["intensity"], d["silo_data"], d["all_stations"]
+    )["level4"]
+    out = _r6(
+        _fmt_time(l4),
+        ["soil_moist", "effective_depth", "rainfall", "soil_moist_filtered", "depth_filtered"],
+    ).select(
+        "time", "site_no", "soil_moist", "effective_depth", "rainfall",
+        "soil_moist_filtered", "depth_filtered",
+    )
+    return _detach(out, scratch)
+
+
+@register(
     "level2",
     oracles.LEVEL2_ORACLE,
     doc="level1→level2: J1 broadcast dim join, J3 day-grain SILO join, J4 "

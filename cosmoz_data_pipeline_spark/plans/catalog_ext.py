@@ -911,6 +911,32 @@ def _simhash_band_rows(
 # tests/test_simhash_wide_blocks.py.
 SIMHASH_PREAGG_CANDS: bool | None = None
 
+# Round-15 lever (VERDICT r14 task 6, the last named lever for the
+# band self-join after pre-agg measured out): force a SHUFFLED HASH
+# join for the band equi-join instead of the planner's sort-merge
+# (guide §3.1 — both sides are the same exchanged band-row set; SHJ
+# builds a per-partition hash table on the build side and skips BOTH
+# sorts, at the cost of build-side memory per partition; the Manku
+# key widths keep per-key groups small, the corpus-sized partition
+# count bounds per-partition build volume, and AQE skew-split applies
+# to SHJ as to SMJ). A physical-strategy hint only: the pair set is
+# identical by construction.
+#
+# ADOPTED round 15 (SIMHASH_SHJ_AB.json, interleaved, identity pinned
+# at 94,645 / 893,092 pairs): SHJ wins every pair at both decades —
+# x100 best 11.34→9.65 s (1.18×, 3/3), x1000 best 51.98→41.97 s
+# (1.24×, 3/3) in a flagged-HEALTHY io window — with IDENTICAL
+# shuffle bytes (4.85 GiB) and zero spill: the win is exactly the two
+# retired sorts. CORPUS-GATED because the hint outranks size-based
+# broadcast: at the small SFs the planner broadcasts the band table
+# (plans/r14/x_dedup_simhash_pairs_joined_shipped.txt — zero band
+# exchanges), which a blanket hint would strictly worsen; above
+# SIMHASH_SHJ_MIN_N docs the broadcast estimate is long blown and the
+# planner's alternative is the SMJ the A/B beat. None = auto
+# (n_docs >= SIMHASH_SHJ_MIN_N); True/False force for A/B.
+SIMHASH_BAND_SHJ: bool | None = None
+SIMHASH_SHJ_MIN_N = 100_000
+
 
 def _simhash_combo_cands(
     sigs: DataFrame, n_docs: int, wide: bool | None = None
@@ -948,6 +974,14 @@ def _simhash_combo_cands(
             .distinct()
         )
     a, b = bands.alias("a"), bands.alias("b")
+    shj = (
+        SIMHASH_BAND_SHJ
+        if SIMHASH_BAND_SHJ is not None
+        else n_docs >= SIMHASH_SHJ_MIN_N
+    )
+    if shj:
+        # physical strategy only (see SIMHASH_BAND_SHJ): same pairs
+        b = b.hint("shuffle_hash")
     return (
         a.join(
             b,

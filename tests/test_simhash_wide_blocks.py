@@ -133,3 +133,29 @@ def test_preagg_cands_pair_identity(spark, sf_dir):
     finally:
         CE.SIMHASH_PREAGG_CANDS = shipped
         release_persists()
+
+
+def test_shj_hint_pair_identity_and_plan(spark, sf_dir):
+    """Round 15 (SIMHASH_SHJ_AB): the SHUFFLE_HASH hint on the band
+    self-join is physical-strategy only — identical candidate pairs —
+    and the auto gate engages it by docs count (below
+    SIMHASH_SHJ_MIN_N the planner's broadcast must stay)."""
+    from cosmoz_data_pipeline_spark.plans import catalog_ext as CE
+
+    prev = CE.SIMHASH_BAND_SHJ
+    try:
+        sigs = scoped_persist(tx.simhash64_bands(_docs_aug(spark, sf_dir)))
+        n = _docs_aug_count(spark, sf_dir)
+        assert n < CE.SIMHASH_SHJ_MIN_N  # test corpus keeps broadcast
+        CE.SIMHASH_BAND_SHJ = False
+        base = _verified_pairs(_simhash_combo_cands(sigs, n), sigs)
+        CE.SIMHASH_BAND_SHJ = True
+        hinted_cand = _simhash_combo_cands(sigs, n)
+        assert "ShuffledHashJoin" in hinted_cand._sc._jvm.PythonSQLUtils.explainString(
+            hinted_cand._jdf.queryExecution(), "formatted"
+        )
+        hinted = _verified_pairs(hinted_cand, sigs)
+    finally:
+        CE.SIMHASH_BAND_SHJ = prev
+        release_persists()
+    assert base and base == hinted

